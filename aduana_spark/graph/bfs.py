@@ -1,0 +1,63 @@
+"""BFS depth / provenance propagation.
+
+The reference records ``depth`` and ``linked_from`` on the first
+crawl path that reaches a page (page_db.c:196-237, 864-868, 921-931) —
+an approximation of shortest-path depth validated in its Python tests
+against ``networkx.single_source_shortest_path_length``
+(/root/reference/test/test_crawl.py:82-88). Here we compute the exact
+shortest-path depth from a seed set by iterative min-depth message
+passing (the same superstep skeleton as connected components):
+
+    depth'[v] = min(depth[v], min_{(u,v)} depth[u] + 1)
+
+Frontier-only optimization: only vertices whose depth changed last
+superstep emit messages, so each superstep joins the (shrinking)
+frontier against the edge table instead of the full vertex state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def bfs_depths(
+    edges: DataFrame, seeds: DataFrame, max_depth: int | None = None
+) -> DataFrame:
+    """Shortest-path depth from ``seeds`` (DataFrame with column
+    ``id``). Returns (id, depth) for reachable vertices only."""
+    e = edges.select("src", "dst").repartition(F.col("src")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    e.count()
+    state = seeds.select("id", F.lit(0).alias("depth")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    frontier = state
+    depth = 0
+    while True:
+        depth += 1
+        if max_depth is not None and depth > max_depth:
+            break
+        reached = (
+            e.join(frontier.select(F.col("id").alias("src")), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new_frontier = (
+            reached.join(state.select("id"), "id", "left_anti")
+            .select("id", F.lit(depth).alias("depth"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_new = new_frontier.count()
+        if n_new == 0:
+            new_frontier.unpersist()
+            break
+        new_state = state.unionAll(new_frontier).persist(StorageLevel.MEMORY_AND_DISK)
+        new_state.count()
+        state.unpersist()
+        if frontier is not state:
+            frontier.unpersist()
+        state, frontier = new_state, new_frontier
+    return state

@@ -1,0 +1,129 @@
+"""Connected components by iterated min-id propagation (SURVEY.md
+§2.10 — north-rule extension; no counterpart in the reference, which
+promises "other ranking algorithms based on the link structure",
+README.md:3-6).
+
+Semantics: weakly connected components of the directed edge table —
+each vertex is labeled with the smallest vertex id in its component
+(exact oracle: ``networkx.weakly_connected_components``).
+
+Algorithm: min-label propagation over the symmetrized edge set.
+Each superstep::
+
+    label'[v] = min(label[v], min_{(u,v) ∈ E_sym} label[u])
+
+converging in O(diameter) supersteps (web graphs: ~15-25). Each
+superstep is one join + min-aggregate with map-side partial
+aggregation; convergence is detected by counting changed labels
+(a cheap aggregate over the persisted candidate DF). For graphs with
+pathological diameters, the alternating large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond") converges in O(log²) rounds — min-propagation is the
+reference-shaped default because crawl graphs are shallow.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from aduana_spark.graph.checkpoint import CheckpointManager
+from aduana_spark.graph.pagerank import IterativeResult, SuperstepMetrics
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected projection: edges ∪ reversed(edges), deduplicated."""
+    return (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = 50,
+    checkpoint: CheckpointManager | str | None = None,
+    checkpoint_interval: int = 5,
+) -> IterativeResult:
+    """Returns ranks DataFrame (id, component) — component = min id in
+    the weakly connected component."""
+    spark = edges.sparkSession
+    ckpt = (
+        CheckpointManager(checkpoint, "components")
+        if isinstance(checkpoint, str)
+        else checkpoint
+    )
+    sym = symmetrize(edges).repartition(F.col("src")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_edges = sym.count()
+
+    state = (
+        sym.select(F.col("src").alias("id"))
+        .unionAll(sym.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .repartition(F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_vertices = state.count()
+
+    metrics: list[SuperstepMetrics] = []
+    converged = False
+    it = 0
+    for it in range(1, max_iters + 1):
+        t0 = time.time()
+        msgs = (
+            sym.join(
+                state.select(F.col("id").alias("src"), F.col("component").alias("c")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("c").alias("nbr_min"))
+            .withColumnRenamed("dst", "id")
+        )
+        cand = (
+            state.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.col("component").alias("old"),
+                F.least(
+                    "component", F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = cand.where(F.col("component") != F.col("old")).count()
+        new_state = cand.select("id", "component")
+        wall = time.time() - t0
+        metrics.append(
+            SuperstepMetrics(it, float(changed), wall, n_edges, n_edges / max(wall, 1e-9))
+        )
+        converged = changed == 0
+        if ckpt is not None and (it % checkpoint_interval == 0 or converged):
+            new_state = ckpt.save(
+                it,
+                new_state,
+                {"algo": "components", "changed": changed, "wall_sec": wall},
+            )
+        else:
+            new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+            new_state.count()
+        state.unpersist()
+        cand.unpersist()
+        state = new_state
+        if converged:
+            break
+
+    return IterativeResult(
+        ranks=state,
+        converged=converged,
+        n_iterations=it,
+        n_vertices=n_vertices,
+        n_edges=n_edges,
+        metrics=metrics,
+    )

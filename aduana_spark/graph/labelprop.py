@@ -1,0 +1,96 @@
+"""Synchronous label propagation (north-rule extension).
+
+Community detection over the undirected projection: every vertex
+starts with its own id as label; each superstep adopts the most
+frequent label among its neighbors, ties broken by the smallest label
+(deterministic — unlike networkx's asynchronous LPA, which is
+order-dependent; tests therefore assert structural properties, e.g.
+two planted cliques each converge to one label).
+
+Superstep = join + two aggregations, all map-side combinable:
+
+    counts[v, l] = Σ_{(u,v)} [label[u] = l]
+    label'[v]    = argmax_l (counts, tie → min l)   via max(struct(cnt, -l))
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from aduana_spark.graph.components import symmetrize
+from aduana_spark.graph.pagerank import IterativeResult, SuperstepMetrics
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iters: int = 10,
+    directed: bool = False,
+) -> IterativeResult:
+    """Returns ranks DataFrame (id, label)."""
+    sym = (edges.select("src", "dst") if directed else symmetrize(edges)).repartition(
+        F.col("src")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = sym.count()
+
+    state = (
+        sym.select(F.col("src").alias("id"))
+        .unionAll(sym.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_vertices = state.count()
+
+    metrics: list[SuperstepMetrics] = []
+    converged = False
+    it = 0
+    for it in range(1, max_iters + 1):
+        t0 = time.time()
+        counts = (
+            sym.join(
+                state.select(F.col("id").alias("src"), F.col("label").alias("l")),
+                "src",
+            )
+            .groupBy("dst", "l")
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            counts.groupBy("dst")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("l")).alias("nl"))).alias("b"))
+            .select(F.col("dst").alias("id"), (-F.col("b.nl")).alias("new_label"))
+        )
+        cand = (
+            state.join(best, "id", "left")
+            .select(
+                "id",
+                F.col("label").alias("old"),
+                F.coalesce("new_label", F.col("label")).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = cand.where(F.col("label") != F.col("old")).count()
+        new_state = cand.select("id", "label").persist(StorageLevel.MEMORY_AND_DISK)
+        new_state.count()
+        state.unpersist()
+        cand.unpersist()
+        state = new_state
+        wall = time.time() - t0
+        metrics.append(
+            SuperstepMetrics(it, float(changed), wall, n_edges, n_edges / max(wall, 1e-9))
+        )
+        converged = changed == 0
+        if converged:
+            break
+
+    return IterativeResult(
+        ranks=state,
+        converged=converged,
+        n_iterations=it,
+        n_vertices=n_vertices,
+        n_edges=n_edges,
+        metrics=metrics,
+    )

@@ -1,0 +1,256 @@
+"""Iterative PageRank with aduana's exact numeric semantics.
+
+Reference: ``page_rank_compute`` /root/reference/lib/src/page_rank.c
+(init 183-256, superstep 258-330, end-loop 332-392, driver 394-440).
+Per superstep over edges (f → t)::
+
+    value2[t]  = Σ  damping * value1[f] / out_degree[f]
+    rem        = 1 - Σ value2                       # teleport + dangling mass
+    value2[i] += rem / N                            # uniform
+    value2[i] += rem * score[i] / total_score       # personalized variant
+    delta      = max_i |value2[i] - value1[i]|      # L∞
+    stop when delta <= precision; error at max_loops (default 100)
+
+The remainder step implements BOTH the (1-damping) teleport and the
+redistribution of dangling-node mass in one pass (worked example in
+test_page_rank.c:10-67) — naive per-node (1-d)/N does NOT reproduce
+the fixtures.
+
+Spark execution per superstep (designed for ~10^12-edge tables):
+
+- ``edges`` is hash-partitioned by ``src`` once and persisted; the
+  per-iteration join re-shuffles only the V-row state, not the E-row
+  edge table (the persisted exchange is reused).
+- the contribution aggregation is a ``groupBy(dst).sum`` —
+  map-side partial aggregation means a hub page with 10^9 in-links
+  receives at most one partial row per map partition; explicit
+  salting (``salt_buckets``) additionally splits the reduce key for
+  pathological hubs, as the north rule requires.
+- every iteration persists the new state and unpersists the old one;
+  every ``checkpoint_interval`` iterations the state is written as a
+  parquet shard + manifest (delta, wall, edges/sec) and read back,
+  truncating lineage and enabling mid-iteration resume.
+- AQE handles runtime skew splitting and partition coalescing;
+  ``shuffle_partitions`` may be an int or a
+  ``f(iteration, n_edges) -> int`` policy applied per superstep.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from aduana_spark.graph.builder import out_degrees
+from aduana_spark.graph.checkpoint import CheckpointManager
+
+
+class ConvergenceError(RuntimeError):
+    """Raised in strict mode when max_iters is hit without convergence
+    (mirrors page_rank_error_precision, page_rank.c:431-436)."""
+
+
+@dataclass
+class SuperstepMetrics:
+    iteration: int
+    delta: float
+    wall_sec: float
+    edges: int
+    edges_per_sec: float
+
+
+@dataclass
+class IterativeResult:
+    ranks: DataFrame
+    converged: bool
+    n_iterations: int
+    n_vertices: int
+    n_edges: int
+    metrics: list[SuperstepMetrics] = field(default_factory=list)
+
+    @property
+    def deltas(self) -> list[float]:
+        return [m.delta for m in self.metrics]
+
+
+def _resolve_partitions(spark, shuffle_partitions, iteration, n_edges) -> int | None:
+    if shuffle_partitions is None:
+        return None
+    if callable(shuffle_partitions):
+        return int(shuffle_partitions(iteration, n_edges))
+    return int(shuffle_partitions)
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    precision: float = 1e-4,
+    max_iters: int = 100,
+    scores: DataFrame | None = None,
+    vertices: DataFrame | None = None,
+    checkpoint: CheckpointManager | str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    salt_buckets: int | None = None,
+    shuffle_partitions: int | Callable[[int, int], int] | None = None,
+    strict: bool = False,
+) -> IterativeResult:
+    """Compute PageRank over an ``(src LONG, dst LONG)`` edge table.
+
+    ``scores``: optional (id, score) content scores → personalized
+    teleport (page_rank.c:359-366); total falls back to 1.0 when the
+    scores sum to zero (page_rank.c:204-206).
+    ``vertices``: optional (id) vertex universe; defaults to the ids
+    appearing in edges ∪ scores (the reference sizes its arrays by
+    max id seen on the stream, page_rank.c:218-223).
+    ``checkpoint``: CheckpointManager or base dir; enables shard
+    writes and ``resume=True``.
+    """
+    spark = edges.sparkSession
+    ckpt = (
+        CheckpointManager(checkpoint, "pagerank")
+        if isinstance(checkpoint, str)
+        else checkpoint
+    )
+
+    edges = edges.select("src", "dst")
+    parts0 = _resolve_partitions(spark, shuffle_partitions, 0, 0)
+    if parts0:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts0))
+    edges = edges.repartition(F.col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = edges.count()
+
+    # ---- static vertex state: (id, deg, score) --------------------------
+    if vertices is None:
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .unionAll(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        if scores is not None:
+            verts = verts.unionAll(scores.select("id")).distinct()
+    else:
+        verts = vertices.select("id").distinct()
+    vstate = verts.join(out_degrees(edges), "id", "left").select(
+        "id", F.coalesce("deg", F.lit(0)).alias("deg")
+    )
+    if scores is not None:
+        vstate = vstate.join(scores.select("id", "score"), "id", "left").select(
+            "id", "deg", F.coalesce("score", F.lit(0.0)).alias("score")
+        )
+        total_score = scores.agg(F.sum("score")).first()[0] or 0.0
+        if total_score == 0.0:
+            total_score = 1.0  # page_rank.c:204-206
+    else:
+        vstate = vstate.withColumn("score", F.lit(0.0))
+        total_score = 1.0
+    vstate = vstate.repartition(F.col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    n_vertices = vstate.count()
+
+    # ---- initial ranks ---------------------------------------------------
+    start_iter = 0
+    if resume and ckpt is not None and ckpt.latest() is not None:
+        start_iter = ckpt.latest()
+        prev = ckpt.load(spark, start_iter).select("id", "rank")
+        # renormalize (page_rank.c:234-248 — warm start after growth)
+        s = prev.agg(F.sum("rank")).first()[0]
+        state = vstate.join(prev, "id", "left").select(
+            "id", "deg", "score", (F.coalesce("rank", F.lit(0.0)) / F.lit(s)).alias("rank")
+        )
+    else:
+        state = vstate.withColumn("rank", F.lit(1.0 / n_vertices))
+    state = state.persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()
+
+    metrics: list[SuperstepMetrics] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter + 1, start_iter + max_iters + 1):
+        t0 = time.time()
+        parts = _resolve_partitions(spark, shuffle_partitions, it, n_edges)
+        if parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+
+        msg_src = state.select(
+            F.col("id").alias("src"), (F.col("rank") / F.col("deg")).alias("m")
+        )
+        joined = edges.join(msg_src, "src")
+        if salt_buckets and salt_buckets > 1:
+            # two-phase salted aggregation for pathological hub keys
+            partial = joined.groupBy(
+                "dst", F.pmod(F.xxhash64("src"), F.lit(salt_buckets)).alias("_salt")
+            ).agg(F.sum("m").alias("pm"))
+            contrib = partial.groupBy("dst").agg(
+                (F.lit(damping) * F.sum("pm")).alias("raw")
+            )
+        else:
+            contrib = joined.groupBy("dst").agg(
+                (F.lit(damping) * F.sum("m")).alias("raw")
+            )
+
+        cand = state.join(contrib, state["id"] == contrib["dst"], "left").select(
+            state["id"],
+            state["deg"],
+            state["score"],
+            state["rank"].alias("old_rank"),
+            F.coalesce(contrib["raw"], F.lit(0.0)).alias("raw"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        rem = 1.0 - (cand.agg(F.sum("raw")).first()[0] or 0.0)
+        if scores is not None:
+            rem_expr = F.lit(rem) * F.col("score") / F.lit(total_score)
+        else:
+            rem_expr = F.lit(rem / n_vertices)
+        new_rank = F.col("raw") + rem_expr
+
+        delta = cand.agg(F.max(F.abs(new_rank - F.col("old_rank")))).first()[0]
+        new_state = cand.select("id", "deg", "score", new_rank.alias("rank"))
+
+        wall = time.time() - t0
+        metrics.append(
+            SuperstepMetrics(it, float(delta), wall, n_edges, n_edges / max(wall, 1e-9))
+        )
+        converged = delta <= precision
+
+        do_ckpt = ckpt is not None and (
+            it % checkpoint_interval == 0 or converged or it == start_iter + max_iters
+        )
+        if do_ckpt:
+            new_state = ckpt.save(
+                it,
+                new_state,
+                {
+                    "algo": "pagerank",
+                    "delta": float(delta),
+                    "wall_sec": wall,
+                    "edges": n_edges,
+                    "vertices": n_vertices,
+                    "damping": damping,
+                    "converged": converged,
+                },
+            )
+        else:
+            new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+            new_state.count()
+        state.unpersist()
+        cand.unpersist()
+        state = new_state
+        if converged:
+            break
+
+    if not converged and strict:
+        raise ConvergenceError(
+            f"pagerank did not reach {precision} in {max_iters} iterations"
+        )
+    return IterativeResult(
+        ranks=state.select("id", "rank"),
+        converged=converged,
+        n_iterations=it - start_iter,
+        n_vertices=n_vertices,
+        n_edges=n_edges,
+        metrics=metrics,
+    )

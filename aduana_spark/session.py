@@ -1,0 +1,56 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The engine targets multi-executor clusters over ~10^12-document edge
+tables; in this sandbox we run ``local[N]`` but keep every setting
+cluster-shaped:
+
+- AQE on (runtime coalescing + skew-join splitting — hub domains in a
+  web graph are heavily skewed),
+- Arrow enabled for every pandas UDF path,
+- shuffle partition count is a tunable (per-iteration policy lives in
+  the algorithm drivers, see ``graph.pagerank``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("ADUANA_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "aduana-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores). On a
+    real cluster, leave ``master`` unset and submit with
+    ``spark-submit --py-files aduana_spark.zip``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("ADUANA_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
