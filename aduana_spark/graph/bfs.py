@@ -48,16 +48,11 @@ def bfs_depths(
         new_frontier = (
             reached.join(state.select("id"), "id", "left_anti")
             .select("id", F.lit(depth).alias("depth"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()  # materialize + truncate lineage
         )
-        n_new = new_frontier.count()
-        if n_new == 0:
-            new_frontier.unpersist()
+        if new_frontier.count() == 0:
             break
-        new_state = state.unionAll(new_frontier).persist(StorageLevel.MEMORY_AND_DISK)
-        new_state.count()
+        new_state = state.unionAll(new_frontier).localCheckpoint()
         state.unpersist()
-        if frontier is not state:
-            frontier.unpersist()
         state, frontier = new_state, new_frontier
     return state

@@ -86,17 +86,13 @@ def connected_components(
             .agg(F.min("c").alias("nbr_min"))
             .withColumnRenamed("dst", "id")
         )
-        cand = (
-            state.join(msgs, "id", "left")
-            .select(
-                "id",
-                F.col("component").alias("old"),
-                F.least(
-                    "component", F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        cand = state.join(msgs, "id", "left").select(
+            "id",
+            F.col("component").alias("old"),
+            F.least(
+                "component", F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        ).localCheckpoint()  # materialize + truncate lineage
         changed = cand.where(F.col("component") != F.col("old")).count()
         new_state = cand.select("id", "component")
         wall = time.time() - t0
@@ -110,11 +106,7 @@ def connected_components(
                 new_state,
                 {"algo": "components", "changed": changed, "wall_sec": wall},
             )
-        else:
-            new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-            new_state.count()
         state.unpersist()
-        cand.unpersist()
         state = new_state
         if converged:
             break

@@ -94,8 +94,8 @@ def hits(
             F.lit(1.0 / n_vertices).alias("hub"),
             F.lit(1.0 / n_vertices).alias("auth"),
         )
-    state = state.persist(StorageLevel.MEMORY_AND_DISK)
-    state.count()
+    cache = state.persist(StorageLevel.MEMORY_AND_DISK)
+    state = cache
 
     metrics: list[SuperstepMetrics] = []
     converged = False
@@ -107,11 +107,8 @@ def hits(
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
         # hub messages: weight of edge f→t is (score[t] *) a1[t]
-        a_side = state.select(
-            F.col("id").alias("dst"), (F.col("score") * F.col("auth")).alias("am")
-            if scores is not None
-            else F.col("auth").alias("am"),
-        )
+        am = (F.col("score") * F.col("auth")) if scores is not None else F.col("auth")
+        a_side = state.select(F.col("id").alias("dst"), am.alias("am"))
         hub_raw = (
             edges.join(a_side, "dst").groupBy("src").agg(F.sum("am").alias("hub_raw"))
         )
@@ -134,25 +131,31 @@ def hits(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        sums = cand.agg(
+        # L1 sums stay in-plan (1-row broadcast) → ONE action per superstep
+        sums_df = cand.agg(
             F.sum("hub_raw").alias("hs"), F.sum("auth_raw").alias("as_")
-        ).first()
-        hub_sum = sums["hs"] or 1.0
-        auth_sum = sums["as_"] or 1.0
-
-        new_hub = F.col("hub_raw") / F.lit(hub_sum)
-        new_auth = F.col("auth_raw") / F.lit(auth_sum)
-        delta = cand.agg(
+        )
+        new_hub = F.col("hub_raw") / F.col("hs")
+        new_auth = F.col("auth_raw") / F.col("as_")
+        new_state_full = cand.crossJoin(F.broadcast(sums_df)).select(
+            "id",
+            "score",
+            "old_hub",
+            "old_auth",
+            new_hub.alias("hub"),
+            new_auth.alias("auth"),
+        )
+        # materialize + truncate logical lineage (see pagerank.py note)
+        new_state_full = new_state_full.localCheckpoint()
+        delta = new_state_full.agg(
             F.max(
                 F.greatest(
-                    F.abs(new_hub - F.col("old_hub")),
-                    F.abs(new_auth - F.col("old_auth")),
+                    F.abs(F.col("hub") - F.col("old_hub")),
+                    F.abs(F.col("auth") - F.col("old_auth")),
                 )
             )
         ).first()[0]
-        new_state = cand.select(
-            "id", "score", new_hub.alias("hub"), new_auth.alias("auth")
-        )
+        new_state = new_state_full.select("id", "score", "hub", "auth")
 
         wall = time.time() - t0
         metrics.append(
@@ -175,11 +178,9 @@ def hits(
                     "converged": converged,
                 },
             )
-        else:
-            new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-            new_state.count()
-        state.unpersist()
+        cache.unpersist()
         cand.unpersist()
+        cache = new_state_full
         state = new_state
         if converged:
             break

@@ -63,21 +63,14 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("l")).alias("nl"))).alias("b"))
             .select(F.col("dst").alias("id"), (-F.col("b.nl")).alias("new_label"))
         )
-        cand = (
-            state.join(best, "id", "left")
-            .select(
-                "id",
-                F.col("label").alias("old"),
-                F.coalesce("new_label", F.col("label")).alias("label"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        cand = state.join(best, "id", "left").select(
+            "id",
+            F.col("label").alias("old"),
+            F.coalesce("new_label", F.col("label")).alias("label"),
+        ).localCheckpoint()  # materialize + truncate lineage
         changed = cand.where(F.col("label") != F.col("old")).count()
-        new_state = cand.select("id", "label").persist(StorageLevel.MEMORY_AND_DISK)
-        new_state.count()
         state.unpersist()
-        cand.unpersist()
-        state = new_state
+        state = cand.select("id", "label")
         wall = time.time() - t0
         metrics.append(
             SuperstepMetrics(it, float(changed), wall, n_edges, n_edges / max(wall, 1e-9))

@@ -20,16 +20,21 @@ Spark execution per superstep (designed for ~10^12-edge tables):
 
 - ``edges`` is hash-partitioned by ``src`` once and persisted; the
   per-iteration join re-shuffles only the V-row state, not the E-row
-  edge table (the persisted exchange is reused).
-- the contribution aggregation is a ``groupBy(dst).sum`` —
-  map-side partial aggregation means a hub page with 10^9 in-links
-  receives at most one partial row per map partition; explicit
-  salting (``salt_buckets``) additionally splits the reduce key for
+  edge table.
+- the contribution aggregation is ``groupBy(dst).sum`` — map-side
+  partial aggregation means a hub page with 10^9 in-links receives at
+  most one partial row per map partition; explicit salting
+  (``salt_buckets``) additionally splits the reduce key for
   pathological hubs, as the north rule requires.
-- every iteration persists the new state and unpersists the old one;
-  every ``checkpoint_interval`` iterations the state is written as a
-  parquet shard + manifest (delta, wall, edges/sec) and read back,
-  truncating lineage and enabling mid-iteration resume.
+- the remainder ``rem`` stays **inside the plan** as a 1-row
+  broadcast (cross join with the Σ value2 aggregate) instead of a
+  collected scalar, so one superstep = ONE Spark action (the L∞
+  delta collect); the new state is a projection over the persisted
+  candidate relation.
+- every iteration persists the candidate and unpersists its
+  predecessor; every ``checkpoint_interval`` iterations the state is
+  written as a parquet shard + manifest (delta, wall, edges/sec) and
+  read back, truncating lineage and enabling mid-iteration resume.
 - AQE handles runtime skew splitting and partition coalescing;
   ``shuffle_partitions`` may be an int or a
   ``f(iteration, n_edges) -> int`` policy applied per superstep.
@@ -117,11 +122,14 @@ def pagerank(
         else checkpoint
     )
 
-    edges = edges.select("src", "dst")
     parts0 = _resolve_partitions(spark, shuffle_partitions, 0, 0)
     if parts0:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts0))
-    edges = edges.repartition(F.col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = (
+        edges.select("src", "dst")
+        .repartition(F.col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_edges = edges.count()
 
     # ---- static vertex state: (id, deg, score) --------------------------
@@ -140,7 +148,7 @@ def pagerank(
     )
     if scores is not None:
         vstate = vstate.join(scores.select("id", "score"), "id", "left").select(
-            "id", "deg", F.coalesce("score", F.lit(0.0)).alias("score")
+            "id", "deg", F.coalesce(F.col("score").cast("double"), F.lit(0.0)).alias("score")
         )
         total_score = scores.agg(F.sum("score")).first()[0] or 0.0
         if total_score == 0.0:
@@ -151,7 +159,7 @@ def pagerank(
     vstate = vstate.repartition(F.col("id")).persist(StorageLevel.MEMORY_AND_DISK)
     n_vertices = vstate.count()
 
-    # ---- initial ranks ---------------------------------------------------
+    # ---- initial state ---------------------------------------------------
     start_iter = 0
     if resume and ckpt is not None and ckpt.latest() is not None:
         start_iter = ckpt.latest()
@@ -159,12 +167,15 @@ def pagerank(
         # renormalize (page_rank.c:234-248 — warm start after growth)
         s = prev.agg(F.sum("rank")).first()[0]
         state = vstate.join(prev, "id", "left").select(
-            "id", "deg", "score", (F.coalesce("rank", F.lit(0.0)) / F.lit(s)).alias("rank")
+            "id",
+            "deg",
+            "score",
+            (F.coalesce("rank", F.lit(0.0)) / F.lit(s)).alias("rank"),
         )
     else:
         state = vstate.withColumn("rank", F.lit(1.0 / n_vertices))
-    state = state.persist(StorageLevel.MEMORY_AND_DISK)
-    state.count()
+    cache = state.persist(StorageLevel.MEMORY_AND_DISK)
+    state = cache
 
     metrics: list[SuperstepMetrics] = []
     converged = False
@@ -175,7 +186,8 @@ def pagerank(
         if parts:
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
-        msg_src = state.select(
+        # dangling vertices (deg=0) emit nothing — their mass lands in rem
+        msg_src = state.where(F.col("deg") > 0).select(
             F.col("id").alias("src"), (F.col("rank") / F.col("deg")).alias("m")
         )
         joined = edges.join(msg_src, "src")
@@ -191,24 +203,42 @@ def pagerank(
             contrib = joined.groupBy("dst").agg(
                 (F.lit(damping) * F.sum("m")).alias("raw")
             )
+        contrib = contrib.withColumnRenamed("dst", "id")
 
-        cand = state.join(contrib, state["id"] == contrib["dst"], "left").select(
-            state["id"],
-            state["deg"],
-            state["score"],
-            state["rank"].alias("old_rank"),
-            F.coalesce(contrib["raw"], F.lit(0.0)).alias("raw"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-
-        rem = 1.0 - (cand.agg(F.sum("raw")).first()[0] or 0.0)
+        cand = (
+            state.join(contrib, "id", "left")
+            .select(
+                "id",
+                "deg",
+                "score",
+                F.col("rank").alias("old_rank"),
+                F.coalesce("raw", F.lit(0.0)).alias("raw"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # rem stays in-plan: 1-row aggregate broadcast back onto cand
+        rem_df = cand.agg((F.lit(1.0) - F.sum("raw")).alias("rem"))
         if scores is not None:
-            rem_expr = F.lit(rem) * F.col("score") / F.lit(total_score)
+            rem_term = F.col("rem") * F.col("score") / F.lit(total_score)
         else:
-            rem_expr = F.lit(rem / n_vertices)
-        new_rank = F.col("raw") + rem_expr
+            rem_term = F.col("rem") / F.lit(float(n_vertices))
+        new_state_full = cand.crossJoin(F.broadcast(rem_df)).select(
+            "id",
+            "deg",
+            "score",
+            "old_rank",
+            (F.col("raw") + rem_term).alias("rank"),
+        )
 
-        delta = cand.agg(F.max(F.abs(new_rank - F.col("old_rank")))).first()[0]
-        new_state = cand.select("id", "deg", "score", new_rank.alias("rank"))
+        # Job 1: materialize + truncate logical lineage (without this,
+        # Catalyst re-analyzes an exponentially deepening self-join tree
+        # and superstep latency explodes around iteration ~15).
+        new_state_full = new_state_full.localCheckpoint()
+        # Job 2: L∞ delta over the materialized rows
+        delta = new_state_full.agg(
+            F.max(F.abs(F.col("rank") - F.col("old_rank")))
+        ).first()[0]
+        new_state = new_state_full.select("id", "deg", "score", "rank")
 
         wall = time.time() - t0
         metrics.append(
@@ -233,11 +263,9 @@ def pagerank(
                     "converged": converged,
                 },
             )
-        else:
-            new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-            new_state.count()
-        state.unpersist()
+        cache.unpersist()
         cand.unpersist()
+        cache = new_state_full
         state = new_state
         if converged:
             break

@@ -1,0 +1,19 @@
+"""Training-data pipeline operators: dedup, similarity search, text
+analysis, multimodal plumbing. These extend the engine beyond the
+reference's own surface for 100 TB-scale corpus curation."""
+
+from aduana_spark.pipeline.dedup import (  # noqa: F401
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from aduana_spark.pipeline.similarity import brute_force_topk, lsh_topk  # noqa: F401
+from aduana_spark.pipeline.textstats import (  # noqa: F401
+    document_fingerprint,
+    keyword_score_col,
+    language_id,
+    quality_scores,
+    token_count_col,
+)

@@ -1,0 +1,300 @@
+"""Deduplication at corpus scale.
+
+Five tiers, cheapest first:
+
+1. exact (hash-groupBy) — one shuffle on a 64/128-bit content hash,
+2. MinHash + LSH — shingle → minhash signature (Arrow-vectorized
+   numpy) → band buckets → bucket self-join for candidates → exact
+   Jaccard verify; only candidate pairs ever shuffle,
+3. SimHash — 64-bit signature, near-dups = Hamming ≤ k found by
+   banding the signature into k+1 chunks (pigeonhole: any pair within
+   Hamming k agrees on ≥1 chunk),
+4. n-gram Jaccard — exact verification kernel (native Column
+   expressions, array_intersect/union),
+5. embedding cosine — random-hyperplane LSH buckets + exact cosine
+   verify (see ``similarity`` for the search-flavored API).
+
+Scale notes: every variant avoids the O(n²) cross join — candidates
+come from equality buckets, so the plan is shuffle-on-bucket +
+within-bucket join. Banding parameters trade recall for bucket skew;
+huge buckets (boilerplate shingles) should be capped upstream by
+filtering bucket sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical documents: (canonical_id, doc_id).
+    canonical = min id per content hash; rows only for docs that have
+    at least one duplicate partner."""
+    h = df.select(F.col(id_col).alias("doc_id"), F.xxhash64(text_col).alias("h"))
+    grp = h.groupBy("h").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n")
+    )
+    return (
+        h.join(grp.where(F.col("n") > 1), "h")
+        .select("canonical_id", "doc_id")
+        .where(F.col("doc_id") != F.col("canonical_id"))
+    )
+
+
+# ------------------------------------------------------------ minhash + LSH
+
+
+def _shingle_col(text_col: str, k: int) -> F.Column:
+    toks = F.split(F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    )
+
+
+def _minhash_udf(num_perm: int, seed: int):
+    rng = np.random.RandomState(seed)
+    # universal hashing: h_i(x) = (a_i * x + b_i) mod p, p Mersenne 61
+    p = np.uint64((1 << 61) - 1)
+    a = rng.randint(1, 1 << 31, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(shingles: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingles:
+            if arr is None or len(arr) == 0:
+                out.append([0] * num_perm)
+                continue
+            x = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            # (a ⊗ x + b) mod p, vectorized over (perm × shingle)
+            hv = (np.outer(a, x) + b[:, None]) % p
+            out.append(hv.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, shingles, sig) — shingle sets built JVM-side, minhash
+    permutations Arrow-vectorized."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), _shingle_col(text_col, shingle_k).alias("shingles")
+    )
+    return sh.withColumn("sig", _minhash_udf(num_perm, seed)(F.col("shingles")))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) with exact Jaccard
+    over shingle sets; optionally filtered to jaccard >= threshold."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed).persist()
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    buckets = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = buckets.select(
+        "band", "bucket", F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    right = buckets.select(
+        "band", "bucket", F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(0.0).alias("jaccard"),
+    )
+    if threshold is not None:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, simhash LONG): majority-vote bit signature over
+    shingle hashes."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), _shingle_col(text_col, shingle_k).alias("shingles")
+    )
+
+    @F.pandas_udf(T.LongType())
+    def simhash(shingles: pd.Series) -> pd.Series:
+        res = np.zeros(len(shingles), dtype=np.uint64)
+        bitpos = np.arange(64, dtype=np.uint64)
+        for i, arr in enumerate(shingles):
+            if arr is None or len(arr) == 0:
+                continue
+            x = np.asarray(arr, dtype=np.int64).astype(np.uint64)[:, None]
+            ones = ((x >> bitpos[None, :]) & np.uint64(1)).sum(axis=0)
+            maj = ones * 2 > len(arr)
+            res[i] = np.bitwise_or.reduce(
+                (maj.astype(np.uint64) << bitpos)
+            )
+        return pd.Series(res.astype(np.int64))
+
+    return sh.select("doc_id", simhash(F.col("shingles")).alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Pairs (id_a < id_b, hamming) with Hamming(simhash) <= k, via
+    (k+1)-chunk banding (pigeonhole) + exact popcount verify."""
+    sigs = simhash_signatures(df, id_col, text_col, shingle_k).persist()
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunk_idx = F.sequence(F.lit(0), F.lit(n_chunks - 1))
+    buckets = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.transform(
+                chunk_idx,
+                lambda ci: F.struct(
+                    ci.alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), ci * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                ),
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key"))
+    left = buckets.select("chunk", "key", F.col("doc_id").alias("id_a"), F.col("simhash").alias("s_a"))
+    right = buckets.select("chunk", "key", F.col("doc_id").alias("id_b"), F.col("simhash").alias("s_b"))
+    pairs = (
+        left.join(right, ["chunk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ----------------------------------------------------------- n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    length_bucket: int = 16,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard over candidate pairs from
+    token-length buckets (docs within the same or adjacent length
+    bucket — |A∩B|/|A∪B| ≥ t bounds the length ratio)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), _shingle_col(text_col, n).alias("sh")
+    ).withColumn("nb", (F.size("sh") / length_bucket).cast("long"))
+    cand = sh.select("doc_id", "sh", F.explode(F.array(F.col("nb"), F.col("nb") + 1)).alias("b"))
+    left = cand.select("b", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = cand.select("b", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        left.join(right, "b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(0.0).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------- embedding cosine
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold: random-hyperplane
+    LSH buckets (single probe) + exact cosine verify inside buckets.
+    Recall < 1 by construction (LSH); raise n_probes by lowering
+    n_planes for higher recall."""
+    from aduana_spark.pipeline.similarity import _hyperplane_signature, _cosine_expr
+
+    sig = _hyperplane_signature(df, vec_col, n_planes, seed)
+    tagged = df.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", sig)
+    left = tagged.select("bucket", F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
+    right = tagged.select("bucket", F.col("doc_id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = left.join(right, "bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = _cosine_expr("v_a", "v_b")
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,127 @@
+"""Text analysis for corpus curation — all hot paths are native
+Column expressions (JVM, whole-stage codegen); nothing per-row Python.
+
+- token counting: whitespace split + a BPE-ish regex tokenizer,
+- quality scoring: length / punctuation / stopword ratios
+  (Gopher-style heuristics),
+- language ID: stopword-hit-rate heuristic over small built-in lists,
+- document fingerprinting: xxhash64 over normalized shingles →
+  min-hash fingerprint (rolling-hash flavored),
+- keyword scorer: min(1, matches/20), the reference's example content
+  scorer (/root/reference/examples/keywords/scorer.py:10-21) — the
+  content-score source feeding personalized PageRank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish word/number/punct pieces
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = {
+    "en": "the of and to in a is that it for on with as was at by this".split(),
+    "de": "der die das und ist von zu mit den nicht ein eine auf für".split(),
+    "fr": "le la les de des et un une est dans que pour sur avec pas".split(),
+    "es": "el la los de y que en un una es no por con para del".split(),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count_col(text: Column | str, mode: str = "whitespace") -> Column:
+    """Token count. ``whitespace``: split on runs of whitespace;
+    ``bpeish``: regex pieces (letters / digits / single punct)."""
+    text = _c(text)
+    if mode == "whitespace":
+        trimmed = F.trim(text)
+        return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+            F.size(F.split(trimmed, r"\s+"))
+        )
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def _count_matches(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns: n_chars, n_tokens, punct_ratio,
+    stopword_ratio, mean_token_len, quality_score ∈ [0,1]."""
+    text = _c(text_col)
+    n_chars = F.length(text)
+    n_tokens = token_count_col(text)
+    n_punct = _count_matches(text, r"[^\w\s]")
+    n_alpha = _count_matches(text, r"[A-Za-z]")
+    sw = "|".join(_STOPWORDS["en"])
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(rf"\b(?:{sw})\b"), F.lit(0))
+    )
+    out = (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0)),
+        )
+    )
+    # Gopher-flavored composite: in-range length, sane punctuation,
+    # non-trivial stopword presence
+    len_ok = F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(F.col("punct_ratio") <= 0.3, 1.0).otherwise(0.0)
+    stop_ok = F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    return out.withColumn(
+        "quality_score", (len_ok + punct_ok + stop_ok) / 3.0
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``lang_pred``: argmax stopword hit rate over built-in
+    lists, 'und' when nothing matches. Pure Column expressions —
+    a greatest(struct(hits, lang)) argmax."""
+    text = F.lower(_c(text_col))
+    structs = []
+    for lang, words in _STOPWORDS.items():
+        pat = rf"\b(?:{'|'.join(words)})\b"
+        hits = F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        structs.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.greatest(*structs)
+    return df.withColumn(
+        "lang_pred", F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def keyword_score_col(text: Column | str, keywords: list[str]) -> Column:
+    """X10 (examples/keywords/scorer.py:10-21): score =
+    min(1, matches/20) over a keyword list."""
+    pat = rf"(?i)\b(?:{'|'.join(keywords)})\b"
+    matches = F.size(F.regexp_extract_all(_c(text), F.lit(pat), F.lit(0)))
+    return F.least(matches / F.lit(20.0), F.lit(1.0))
+
+
+def document_fingerprint(
+    df: DataFrame, text_col: str = "text", shingle_k: int = 3
+) -> DataFrame:
+    """Append a 64-bit ``fingerprint``: min over xxhash64 of k-token
+    shingles of the normalized text (rolling-hash style content
+    fingerprint; identical for reordered whitespace / case).
+    Shingles are built with native sequence/transform — no Python."""
+    toks = F.split(F.trim(F.lower(F.regexp_replace(_c(text_col), r"\s+", " "))), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_k))
+    )
+    fp = F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))
+    return df.withColumn("fingerprint", fp)

@@ -1,0 +1,93 @@
+"""Connected components / label propagation / triangles / BFS vs
+networkx exact oracles (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aduana_spark.datagen import random_digraph
+from aduana_spark.graph.bfs import bfs_depths
+from aduana_spark.graph.components import connected_components
+from aduana_spark.graph.labelprop import label_propagation
+from aduana_spark.graph.triangles import triangle_count, triangle_list
+
+nx = pytest.importorskip("networkx")
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src LONG, dst LONG")
+
+
+def test_connected_components_exact(spark):
+    edges, n = random_digraph(n=200, p=0.005, seed=13)
+    g = nx.DiGraph(edges)
+    comps = {}
+    for comp in nx.weakly_connected_components(g):
+        label = min(comp)
+        for v in comp:
+            comps[v] = label
+    res = connected_components(_edges_df(spark, edges))
+    got = {r["id"]: r["component"] for r in res.ranks.collect()}
+    assert got == comps
+    assert res.converged
+
+
+def test_triangle_count_exact(spark):
+    edges, n = random_digraph(n=120, p=0.06, seed=17)
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    g.remove_edges_from(nx.selfloop_edges(g))
+    want = nx.triangles(g)
+    total = sum(want.values()) // 3
+
+    df = _edges_df(spark, edges)
+    assert triangle_count(df).first()["n_triangles"] == total
+    got = {r["id"]: r["n_triangles"] for r in triangle_count(df, per_vertex=True).collect()}
+    for v, c in want.items():
+        assert got.get(v, 0) == c, v
+
+
+def test_triangle_degree_orientation_agrees(spark):
+    edges, n = random_digraph(n=100, p=0.08, seed=19)
+    df = _edges_df(spark, edges)
+    a = {tuple(sorted((r["a"], r["b"], r["c"]))) for r in triangle_list(df).collect()}
+    b = {
+        tuple(sorted((r["a"], r["b"], r["c"])))
+        for r in triangle_list(df, orient_by_degree=True).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_label_propagation_planted_cliques(spark):
+    # two 10-cliques joined by nothing → each converges to one label
+    edges = []
+    for base in (0, 100):
+        for i in range(10):
+            for j in range(i + 1, 10):
+                edges.append((base + i, base + j))
+    res = label_propagation(_edges_df(spark, edges), max_iters=10)
+    got = {r["id"]: r["label"] for r in res.ranks.collect()}
+    labels_a = {got[i] for i in range(10)}
+    labels_b = {got[100 + i] for i in range(10)}
+    assert len(labels_a) == 1 and len(labels_b) == 1
+    assert labels_a != labels_b
+
+
+def test_bfs_depths_exact(spark):
+    edges, n = random_digraph(n=150, p=0.02, seed=23)
+    g = nx.DiGraph(edges)
+    g.add_nodes_from(range(n))
+    want = nx.single_source_shortest_path_length(g, 0)
+    seeds = spark.createDataFrame([(0,)], "id LONG")
+    got = {r["id"]: r["depth"] for r in bfs_depths(_edges_df(spark, edges), seeds).collect()}
+    assert got == dict(want)
+
+
+def test_bfs_max_depth(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    seeds = spark.createDataFrame([(0,)], "id LONG")
+    got = {
+        r["id"]: r["depth"]
+        for r in bfs_depths(_edges_df(spark, edges), seeds, max_depth=2).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}
