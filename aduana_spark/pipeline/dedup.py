@@ -207,21 +207,19 @@ def simhash_near_duplicates(
     sigs = simhash_signatures(df, id_col, text_col, shingle_k).persist()
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    chunk_idx = F.sequence(F.lit(0), F.lit(n_chunks - 1))
+    chunk_structs = [
+        F.struct(
+            F.lit(ci).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), ci * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for ci in range(n_chunks)
+    ]
     buckets = sigs.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.transform(
-                chunk_idx,
-                lambda ci: F.struct(
-                    ci.alias("chunk"),
-                    F.shiftrightunsigned(F.col("simhash"), ci * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("key"),
-                ),
-            )
-        ).alias("cc"),
+        F.explode(F.array(*chunk_structs)).alias("cc"),
     ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key"))
     left = buckets.select("chunk", "key", F.col("doc_id").alias("id_a"), F.col("simhash").alias("s_a"))
     right = buckets.select("chunk", "key", F.col("doc_id").alias("id_b"), F.col("simhash").alias("s_b"))
@@ -287,10 +285,10 @@ def embedding_near_duplicates(
     n_planes for higher recall."""
     from aduana_spark.pipeline.similarity import _hyperplane_signature, _cosine_expr
 
-    sig = _hyperplane_signature(df, vec_col, n_planes, seed)
-    tagged = df.select(
-        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", sig)
+    tagged = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
+    tagged = tagged.withColumn(
+        "bucket", _hyperplane_signature(tagged, "v", n_planes, seed)
+    )
     left = tagged.select("bucket", F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
     right = tagged.select("bucket", F.col("doc_id").alias("id_b"), F.col("v").alias("v_b"))
     pairs = left.join(right, "bucket").where(F.col("id_a") < F.col("id_b"))

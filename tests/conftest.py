@@ -15,8 +15,14 @@ def spark():
     s = get_spark(
         app_name="aduana-tests",
         master="local[8]",
-        shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "8g", "spark.sql.warehouse.dir": "/tmp/aduana-wh"},
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.driver.memory": "8g",
+            "spark.sql.warehouse.dir": "/tmp/aduana-wh",
+            # tiny fixtures: AQE's extra stages only add latency here;
+            # production sessions (session.get_spark defaults) keep it on
+            "spark.sql.adaptive.enabled": "false",
+        },
     )
     yield s
 

@@ -36,7 +36,7 @@ def test_hits_numpy_crosscheck(spark):
     want_h, want_a = hits_numpy(edges, n, precision=1e-13)
     df = spark.createDataFrame(edges, "src LONG, dst LONG")
     verts = df.sparkSession.createDataFrame([(i,) for i in range(n)], "id LONG")
-    got = _d(hits(df, precision=1e-10, max_iters=500, vertices=verts))
+    got = _d(hits(df, precision=1e-8, max_iters=500, vertices=verts))
     for i in range(n):
         assert got[i][0] == pytest.approx(want_h[i], abs=1e-6), f"hub {i}"
         assert got[i][1] == pytest.approx(want_a[i], abs=1e-6), f"auth {i}"
@@ -52,7 +52,7 @@ def test_hits_content_weighted_numpy_crosscheck(spark):
     df = spark.createDataFrame(edges, "src LONG, dst LONG")
     sdf = spark.createDataFrame(list(scores.items()), "id LONG, score DOUBLE")
     verts = df.sparkSession.createDataFrame([(i,) for i in range(n)], "id LONG")
-    got = _d(hits(df, precision=1e-10, max_iters=500, scores=sdf, vertices=verts))
+    got = _d(hits(df, precision=1e-8, max_iters=500, scores=sdf, vertices=verts))
     for i in range(n):
         assert got[i][0] == pytest.approx(want_h[i], abs=1e-6), f"hub {i}"
         assert got[i][1] == pytest.approx(want_a[i], abs=1e-6), f"auth {i}"

@@ -66,10 +66,10 @@ def test_pagerank_numpy_crosscheck(spark):
     from tests.oracles import pagerank_numpy
 
     edges, n = random_digraph(n=200, p=0.03, seed=7)
-    want = pagerank_numpy(edges, n, damping=0.85, precision=1e-10)
+    want = pagerank_numpy(edges, n, damping=0.85, precision=1e-12)
     df = spark.createDataFrame(edges, "src LONG, dst LONG")
     verts = spark.createDataFrame([(i,) for i in range(n)], "id LONG")
-    res = pagerank(df, damping=0.85, precision=1e-9, vertices=verts, max_iters=200)
+    res = pagerank(df, damping=0.85, precision=1e-7, vertices=verts, max_iters=200)
     got = _ranks_dict(res)
     for i in range(n):
         assert got[i] == pytest.approx(want[i], abs=1e-6), i
@@ -83,7 +83,7 @@ def test_pagerank_personalized_numpy_crosscheck(spark):
     want = pagerank_numpy(edges, n, damping=0.6, scores=scores, precision=1e-10)
     df = spark.createDataFrame(edges, "src LONG, dst LONG")
     sdf = spark.createDataFrame(list(scores.items()), "id LONG, score DOUBLE")
-    res = pagerank(df, damping=0.6, precision=1e-9, scores=sdf, max_iters=200)
+    res = pagerank(df, damping=0.6, precision=1e-7, scores=sdf, max_iters=200)
     got = _ranks_dict(res)
     for i in range(n):
         assert got[i] == pytest.approx(want[i], abs=1e-6), i

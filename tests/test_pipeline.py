@@ -1,0 +1,213 @@
+"""Dedup / similarity / textstats / multimodal over planted fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aduana_spark.pipeline.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from aduana_spark.pipeline.similarity import brute_force_topk, lsh_topk
+from aduana_spark.pipeline.textstats import (
+    document_fingerprint,
+    keyword_score_col,
+    language_id,
+    quality_scores,
+    token_count_col,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the crawler "
+    "ranks pages by link structure and serves the best first frontier "
+    "requests with per domain politeness limits in the scheduler"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("quick", "rapid")),  # near dup of 0
+        (3, BASE.replace("politeness", "rate").replace("brown", "dark")),
+        (4, "completely different text about cooking pasta with tomato sauce basil"),
+        (5, "another unrelated document on astronomy telescopes and galaxies far away"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING").persist()
+
+
+def test_exact_duplicates(spark, docs):
+    got = {(r["canonical_id"], r["doc_id"]) for r in exact_duplicates(docs).collect()}
+    assert got == {(0, 1)}
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_candidates(
+            docs, num_perm=64, bands=16, shingle_k=3, threshold=0.3
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert (0, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_jaccard_is_exact_verification(spark, docs):
+    """The jaccard column is exact (computed on shingle sets, not
+    estimated from signatures)."""
+    from aduana_spark.pipeline.dedup import _shingle_col
+
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in docs.select("doc_id", _shingle_col("text", 3).alias("s")).collect()
+    }
+    want = len(sh[0] & sh[2]) / len(sh[0] | sh[2])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_candidates(docs, num_perm=64, bands=16, shingle_k=3).collect()
+    }
+    assert pairs[(0, 2)] == pytest.approx(want)
+
+
+def test_simhash_near_duplicates(spark, docs):
+    got = {(r["id_a"], r["id_b"]) for r in simhash_near_duplicates(
+        docs, max_hamming=3, shingle_k=3
+    ).collect()}
+    assert (0, 1) in got  # identical → hamming 0
+    assert (0, 4) not in got and (0, 5) not in got
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in got
+    assert all(j >= 0.5 for j in got.values())
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(8, 32)
+    rows = []
+    for i in range(8):
+        rows.append((i, base[i].tolist()))
+        # a near-duplicate partner: tiny perturbation
+        rows.append((100 + i, (base[i] + 0.01 * rng.randn(32)).tolist()))
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>").persist()
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.where(F.col("vec_id") == 3).first()["embedding"]
+    top = brute_force_topk(vectors, q, k=3).collect()
+    assert top[0]["vec_id"] == 3 and top[0]["cosine"] == pytest.approx(1.0)
+    assert top[1]["vec_id"] == 103  # its planted near-duplicate
+
+
+def test_lsh_topk_agrees_with_brute_force_on_top1(spark, vectors):
+    q = vectors.where(F.col("vec_id") == 5).first()["embedding"]
+    exact = brute_force_topk(vectors, q, k=2).collect()
+    approx = lsh_topk(vectors, q, k=2, n_planes=6).collect()
+    assert approx[0]["vec_id"] == exact[0]["vec_id"] == 5
+    assert {r["vec_id"] for r in approx} <= {5, 105} | {r["vec_id"] for r in exact}
+
+
+def test_embedding_near_duplicates(spark, vectors):
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(
+        vectors, threshold=0.99, n_planes=6
+    ).collect()}
+    want = {(i, 100 + i) for i in range(8)}
+    # LSH recall: every found pair must be real; most planted pairs found
+    assert got <= want
+    assert len(got) >= 5
+
+
+def test_token_count_and_quality(spark, docs):
+    out = quality_scores(docs.where(F.col("doc_id") == 0))
+    r = out.first()
+    assert r["n_tokens"] == len(BASE.split())
+    assert 0 <= r["quality_score"] <= 1
+    empty = quality_scores(docs.where(F.col("doc_id") == 6)).first()
+    assert empty["n_tokens"] == 0 and empty["punct_ratio"] == 0.0
+
+
+def test_token_count_bpeish(spark):
+    df = spark.createDataFrame([("ab12, cd!",)], "text STRING")
+    got = df.select(token_count_col("text", mode="bpeish").alias("n")).first()["n"]
+    # pieces: ab | 12 | , | cd | !
+    assert got == 5
+
+
+def test_language_id(spark):
+    rows = [
+        (0, "the cat sat on the mat and it was happy with this"),
+        (1, "der hund ist mit der katze und das ist nicht gut"),
+        (2, "le chat est dans la maison et il est pour le mieux"),
+        (3, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr" and got[3] == "und"
+
+
+def test_document_fingerprint_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   world foo bar"), (1, "hello world\t foo  bar"), (2, "other text x y")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in document_fingerprint(df).collect()}
+    assert got[0] == got[1] != got[2]
+
+
+def test_keyword_score(spark):
+    df = spark.createDataFrame(
+        [(0, "spark spark spark"), (1, "no match here")], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", keyword_score_col("text", ["spark", "crawl"]).alias("s")
+        ).collect()
+    }
+    assert got[0] == pytest.approx(3 / 20) and got[1] == 0.0
+
+
+def test_multimodal_fake_decode(spark):
+    from aduana_spark.pipeline.multimodal import (
+        extract_media_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        (0, "image", b"imgbytes0", "image/png", 8, 8, None),
+        (1, "video", b"vidbytes", "video/mp4", 16, 16, 3500),
+        (2, "audio", b"audbytes", "audio/wav", None, None, 2000),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id LONG, kind STRING, content BINARY, mime STRING, "
+        "width INT, height INT, duration_ms LONG",
+    )
+    feats = extract_media_features(media, dim=8).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id) == 3 and len(by_id[0]["feature"]) == 8
+    # determinism: same bytes → same feature
+    feats2 = extract_media_features(media, dim=8).collect()
+    assert {r["media_id"]: r["feature"] for r in feats2} == {
+        r["media_id"]: r["feature"] for r in feats
+    }
+    plan = frame_sample_plan(media, every_ms=1000).collect()
+    assert {(r["media_id"], r["ts_ms"]) for r in plan} == {(1, 0), (1, 1000), (1, 2000)}
+
+    with pytest.raises(Exception, match="NotImplementedError|codec|decode"):
+        extract_media_features(media, dim=8, decoder="stub").collect()
