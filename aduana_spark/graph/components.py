@@ -92,7 +92,7 @@ def connected_components(
             F.least(
                 "component", F.coalesce("nbr_min", F.col("component"))
             ).alias("component"),
-        ).localCheckpoint()  # materialize + truncate lineage
+        ).localCheckpoint(eager=False)  # truncated; next action materializes
         changed = cand.where(F.col("component") != F.col("old")).count()
         new_state = cand.select("id", "component")
         wall = time.time() - t0

@@ -131,22 +131,23 @@ def hits(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # L1 sums stay in-plan (1-row broadcast) → ONE action per superstep
-        sums_df = cand.agg(
+        # Job 1 (the only one touching the E-row joins): materialize cand
+        # into the cache while collecting the L1 sums
+        sums = cand.agg(
             F.sum("hub_raw").alias("hs"), F.sum("auth_raw").alias("as_")
-        )
-        new_hub = F.col("hub_raw") / F.col("hs")
-        new_auth = F.col("auth_raw") / F.col("as_")
-        new_state_full = cand.crossJoin(F.broadcast(sums_df)).select(
+        ).first()
+        hub_sum = sums["hs"] or 1.0
+        auth_sum = sums["as_"] or 1.0
+        new_state_full = cand.select(
             "id",
             "score",
             "old_hub",
             "old_auth",
-            new_hub.alias("hub"),
-            new_auth.alias("auth"),
+            (F.col("hub_raw") / F.lit(hub_sum)).alias("hub"),
+            (F.col("auth_raw") / F.lit(auth_sum)).alias("auth"),
         )
         # materialize + truncate logical lineage (see pagerank.py note)
-        new_state_full = new_state_full.localCheckpoint()
+        new_state_full = new_state_full.localCheckpoint(eager=False)
         delta = new_state_full.agg(
             F.max(
                 F.greatest(

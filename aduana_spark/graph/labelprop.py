@@ -67,7 +67,7 @@ def label_propagation(
             "id",
             F.col("label").alias("old"),
             F.coalesce("new_label", F.col("label")).alias("label"),
-        ).localCheckpoint()  # materialize + truncate lineage
+        ).localCheckpoint(eager=False)  # truncated; next action materializes
         changed = cand.where(F.col("label") != F.col("old")).count()
         state.unpersist()
         state = cand.select("id", "label")

@@ -26,15 +26,16 @@ Spark execution per superstep (designed for ~10^12-edge tables):
   most one partial row per map partition; explicit salting
   (``salt_buckets``) additionally splits the reduce key for
   pathological hubs, as the north rule requires.
-- the remainder ``rem`` stays **inside the plan** as a 1-row
-  broadcast (cross join with the Σ value2 aggregate) instead of a
-  collected scalar, so one superstep = ONE Spark action (the L∞
-  delta collect); the new state is a projection over the persisted
-  candidate relation.
-- every iteration persists the candidate and unpersists its
-  predecessor; every ``checkpoint_interval`` iterations the state is
-  written as a parquet shard + manifest (delta, wall, edges/sec) and
-  read back, truncating lineage and enabling mid-iteration resume.
+- two Spark jobs per superstep: (1) the Σ value2 aggregate, which is
+  the only job that executes the E-row join (and materializes the
+  persisted candidate relation as a side effect); (2) the L∞ delta,
+  which re-scans the cached V-row candidate and materializes the
+  lazily local-checkpointed new state, truncating logical lineage
+  (without truncation Catalyst re-analyzes an exponentially
+  deepening self-join tree).
+- every ``checkpoint_interval`` iterations the state is additionally
+  written as a parquet shard + manifest (delta, wall, edges/sec),
+  enabling durable mid-iteration resume.
 - AQE handles runtime skew splitting and partition coalescing;
   ``shuffle_partitions`` may be an int or a
   ``f(iteration, n_edges) -> int`` policy applied per superstep.
@@ -216,25 +217,26 @@ def pagerank(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # rem stays in-plan: 1-row aggregate broadcast back onto cand
-        rem_df = cand.agg((F.lit(1.0) - F.sum("raw")).alias("rem"))
+        # Job 1 (the only one touching the E-row join): materialize cand
+        # into the cache while collecting Σ value2 → rem
+        rem = 1.0 - (cand.agg(F.sum("raw")).first()[0] or 0.0)
         if scores is not None:
-            rem_term = F.col("rem") * F.col("score") / F.lit(total_score)
+            rem_term = F.lit(rem) * F.col("score") / F.lit(total_score)
         else:
-            rem_term = F.col("rem") / F.lit(float(n_vertices))
-        new_state_full = cand.crossJoin(F.broadcast(rem_df)).select(
+            rem_term = F.lit(rem / float(n_vertices))
+        new_state_full = cand.select(
             "id",
             "deg",
             "score",
             "old_rank",
             (F.col("raw") + rem_term).alias("rank"),
         )
-
-        # Job 1: materialize + truncate logical lineage (without this,
-        # Catalyst re-analyzes an exponentially deepening self-join tree
-        # and superstep latency explodes around iteration ~15).
-        new_state_full = new_state_full.localCheckpoint()
-        # Job 2: L∞ delta over the materialized rows
+        # Job 2: scan the cached cand once more, materialize + truncate
+        # logical lineage (without this, Catalyst re-analyzes an
+        # exponentially deepening self-join tree and superstep latency
+        # explodes around iteration ~15).
+        new_state_full = new_state_full.localCheckpoint(eager=False)
+        # Job 3: L∞ delta over the materialized rows (tiny)
         delta = new_state_full.agg(
             F.max(F.abs(F.col("rank") - F.col("old_rank")))
         ).first()[0]
