@@ -57,8 +57,11 @@ def connected_components(
         if isinstance(checkpoint, str)
         else checkpoint
     )
-    sym = symmetrize(edges).repartition(F.col("src")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sym = (
+        symmetrize(edges)
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")  # cached sort order → SMJ never re-sorts E
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = sym.count()
 

@@ -61,10 +61,24 @@ def hits(
         CheckpointManager(checkpoint, "hits") if isinstance(checkpoint, str) else checkpoint
     )
 
-    edges = edges.select("src", "dst").repartition(F.col("src")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # two cached copies, each pre-partitioned AND pre-sorted on its join
+    # key (hub messages join on dst, authority messages on src) — the
+    # per-superstep SortMergeJoins then sort only the V-row state sides
+    edges_by_src = (
+        edges.select("src", "dst")
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    edges_by_dst = (
+        edges.select("src", "dst")
+        .repartition(F.col("dst"))
+        .sortWithinPartitions("dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges = edges_by_src
     n_edges = edges.count()
+    edges_by_dst.count()
 
     if vertices is None:
         verts = (
@@ -110,12 +124,16 @@ def hits(
         am = (F.col("score") * F.col("auth")) if scores is not None else F.col("auth")
         a_side = state.select(F.col("id").alias("dst"), am.alias("am"))
         hub_raw = (
-            edges.join(a_side, "dst").groupBy("src").agg(F.sum("am").alias("hub_raw"))
+            edges_by_dst.join(a_side, "dst")
+            .groupBy("src")
+            .agg(F.sum("am").alias("hub_raw"))
         )
         # authority messages: h1[f]
         h_side = state.select(F.col("id").alias("src"), F.col("hub").alias("hm"))
         auth_raw = (
-            edges.join(h_side, "src").groupBy("dst").agg(F.sum("hm").alias("auth_raw"))
+            edges_by_src.join(h_side, "src")
+            .groupBy("dst")
+            .agg(F.sum("hm").alias("auth_raw"))
         )
 
         cand = (

@@ -31,9 +31,12 @@ def label_propagation(
     directed: bool = False,
 ) -> IterativeResult:
     """Returns ranks DataFrame (id, label)."""
-    sym = (edges.select("src", "dst") if directed else symmetrize(edges)).repartition(
-        F.col("src")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sym = (
+        (edges.select("src", "dst") if directed else symmetrize(edges))
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")  # cached sort order → SMJ never re-sorts E
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_edges = sym.count()
 
     state = (

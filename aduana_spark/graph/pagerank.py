@@ -126,9 +126,13 @@ def pagerank(
     parts0 = _resolve_partitions(spark, shuffle_partitions, 0, 0)
     if parts0:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts0))
+    # hash-partition AND sort by src once, then cache: the cached scan
+    # advertises its ordering, so the per-superstep SortMergeJoin sorts
+    # only the V-row state side — never re-sorts the E-row edge table
     edges = (
         edges.select("src", "dst")
         .repartition(F.col("src"))
+        .sortWithinPartitions("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = edges.count()

@@ -1,0 +1,94 @@
+"""Domain temperature / escalation / update-trigger semantics
+(reference: domain_temp.c, bf_scheduler.c:537-549, 782-804)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from aduana_spark.frontier.domain_temp import (
+    domain_temperature,
+    escalated_limits,
+    update_due,
+)
+
+TS = dt.datetime(2026, 1, 1)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(d, TS + dt.timedelta(seconds=s)) for d, s in rows],
+        "domain STRING, ts TIMESTAMP",
+    )
+
+
+def test_linear_decay_matches_reference_shape(spark):
+    """test_domain_temp.c:3-28 semantics: weight 1 at the crawl
+    instant, linearly decaying to 0 after the window."""
+    now = (TS + dt.timedelta(seconds=100)).timestamp()
+    ev = _events(spark, [("a.org", 100), ("a.org", 50), ("a.org", 0), ("b.org", 90)])
+    got = {
+        r["domain"]: r["temp"]
+        for r in domain_temperature(ev, now=now, window_sec=100, mode="linear").collect()
+    }
+    # a.org: (1-0/100) + (1-50/100) + (1-100/100) = 1.0 + 0.5 + 0.0
+    assert got["a.org"] == pytest.approx(1.5)
+    assert got["b.org"] == pytest.approx(0.9)
+
+
+def test_window_mode_counts(spark):
+    now = (TS + dt.timedelta(seconds=100)).timestamp()
+    ev = _events(spark, [("a.org", 100), ("a.org", 10), ("a.org", 95)])
+    got = {
+        r["domain"]: r["temp"]
+        for r in domain_temperature(ev, now=now, window_sec=30, mode="window").collect()
+    }
+    assert got["a.org"] == pytest.approx(2.0)  # events at 95 and 100
+
+
+def test_escalated_limits_geometric():
+    """bf_scheduler.c:782-804: soft*exp(k*step), k=ln(hard/soft)/4."""
+    lims = escalated_limits(0.25, 100.0, steps=5)
+    assert lims[0] == pytest.approx(0.25)
+    assert lims[-1] == pytest.approx(100.0)
+    ratios = [lims[i + 1] / lims[i] for i in range(4)]
+    assert all(r == pytest.approx(math.exp(math.log(400.0) / 4)) for r in ratios)
+
+
+def test_update_due_trigger():
+    """bf_scheduler.h:35-39 defaults: >=100 new pages AND >=1% growth."""
+    assert not update_due(n_old=10_000, n_new=99)
+    assert not update_due(n_old=100_000, n_new=500)
+    assert update_due(n_old=10_000, n_new=150)
+    assert update_due(n_old=0, n_new=100)
+
+
+def test_streaming_ingest(spark, tmp_path):
+    """File-source micro-batch ingest applies the batch MERGE."""
+    import json
+
+    from aduana_spark.streaming import StreamingIngest
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows = [
+        {"url": "a", "score": 0.5, "links": [["b", "0.9"], ["c", "0.1"]],
+         "content_hash": "h1", "ts": "2026-01-01T00:00:00"},
+        {"url": "b", "score": 0.2, "links": [["c", "0.3"]],
+         "content_hash": "h2", "ts": "2026-01-01T00:00:01"},
+    ]
+    with open(indir / "batch0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    ing = StreamingIngest(spark)
+    q = ing.start(str(indir), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    info = {r["url"]: r for r in ing.page_info.collect()}
+    assert info["a"]["n_crawls"] == 1 and info["b"]["n_crawls"] == 1
+    assert info["c"]["n_crawls"] == 0 and info["c"]["score"] in (0.1, 0.3)
+    edges = {(r["src_url"], r["dst_url"]) for r in ing.edges.collect()}
+    assert edges == {("a", "b"), ("a", "c"), ("b", "c")}
