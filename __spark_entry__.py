@@ -350,6 +350,64 @@ def _q_simhash_near_dups(spark, sf_dir):
     )
 
 
+def _q_neighborhood(spark, sf_dir):
+    # S13 (page_db_links.c:64-155): forward+backward neighbors of one
+    # vertex in the mod-graph
+    e = _mod_graph_edges(spark, sf_dir).dropDuplicates(["src", "dst"])
+    fwd = e.where(F.col("src") == 7).select(
+        F.lit("out").alias("direction"), F.col("dst").alias("nbr")
+    )
+    bwd = e.where(F.col("dst") == 7).select(
+        F.lit("in").alias("direction"), F.col("src").alias("nbr")
+    )
+    return fwd.unionAll(bwd).orderBy("direction", "nbr")
+
+
+def _q_significant_change(spark, sf_dir):
+    # F5 (bf_scheduler.c:450): |new-old| >= 0.1*|old| over a per-key
+    # score-delta table derived from events
+    from aduana_spark.frontier.bf_scheduler import significant_change
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("new_score"),
+        F.lag("value").over(w).alias("old_score"),
+    ).where(F.col("old_score").isNotNull())
+    return (
+        d.where(significant_change("old_score", "new_score"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_rescheduled"))
+        .orderBy("user_id")
+    )
+
+
+def _q_freq_next_due(spark, sf_dir):
+    # T3/A10 (freq_scheduler.c:302-399, freq_algo.c:6-44): estimate a
+    # revisit frequency per entity and rank by next-due time
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.unix_timestamp(F.max("ts")).alias("last"),
+        F.unix_timestamp(F.min("ts")).alias("first"),
+    )
+    freq = F.when(
+        (F.col("n") >= 2) & (F.col("last") > F.col("first")),
+        F.col("n").cast("double") / (F.col("last") - F.col("first")),
+    ).otherwise(F.lit(0.001))
+    return (
+        agg.select(
+            "user_id",
+            F.round(F.col("last") + 1.0 / freq, 2).alias("next_due"),
+        )
+        .orderBy(F.col("next_due").asc(), F.col("user_id").asc())
+        .limit(50)
+    )
+
+
 def _q_label_propagation(spark, sf_dir):
     # north-rule label propagation (structure-gated in tests/)
     from aduana_spark.graph.labelprop import label_propagation
@@ -377,6 +435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "punct_ratio": _q_punct_ratio,
         "keyword_score": _q_keyword_score,
         "stopword_hits": _q_stopword_hits,
+        "neighborhood": _q_neighborhood,
+        "significant_change": _q_significant_change,
+        "freq_next_due": _q_freq_next_due,
         "connected_components_star": _q_connected_components_star,
         "triangle_count": _q_triangle_count,
         "embedding_topk": _q_embedding_topk,
@@ -488,6 +549,42 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\\b(the|of|and|to|in)\\b'))
                    AS sw_hits
             FROM documents ORDER BY doc_id
+        """,
+        "neighborhood": """
+            WITH e AS (
+              SELECT DISTINCT CAST(l_partkey % 50 AS BIGINT) AS src,
+                     CAST(l_suppkey % 50 AS BIGINT) AS dst
+              FROM lineitem WHERE (l_partkey % 50) <> (l_suppkey % 50)
+            )
+            SELECT 'out' AS direction, dst AS nbr FROM e WHERE src = 7
+            UNION ALL
+            SELECT 'in' AS direction, src AS nbr FROM e WHERE dst = 7
+            ORDER BY direction, nbr
+        """,
+        "significant_change": """
+            SELECT user_id, COUNT(*) AS n_rescheduled FROM (
+              SELECT user_id, value AS new_score,
+                     LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS old_score
+              FROM events
+            )
+            WHERE old_score IS NOT NULL
+              AND ABS(new_score - old_score) >= 0.1 * ABS(old_score)
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "freq_next_due": """
+            SELECT user_id,
+                   ROUND(last + 1.0 / freq, 2) AS next_due
+            FROM (
+              SELECT user_id, COUNT(*) AS n,
+                     FLOOR(epoch(MAX(ts))) AS last,
+                     FLOOR(epoch(MIN(ts))) AS first
+              FROM events GROUP BY user_id
+            ), LATERAL (
+              SELECT CASE WHEN n >= 2 AND last > first
+                          THEN n * 1.0 / (last - first) ELSE 0.001 END AS freq
+            )
+            ORDER BY next_due ASC, user_id ASC LIMIT 50
         """,
         "connected_components_star": """
             WITH comp AS (

@@ -73,6 +73,15 @@ def frontier_topk(
     )
 
 
+def significant_change(old_score, new_score, threshold: float = 0.1):
+    """F5 (bf_scheduler.c:450): re-key a schedule entry only when the
+    score moved by at least ``threshold`` of its old magnitude —
+    |new - old| >= threshold * |old|."""
+    old = F.col(old_score) if isinstance(old_score, str) else old_score
+    new = F.col(new_score) if isinstance(new_score, str) else new_score
+    return F.abs(new - old) >= F.lit(threshold) * F.abs(old)
+
+
 class BFSchedulerView:
     """Driver for sequential ingest/request cycles over the view —
     the ``BFScheduler`` API (aduana/__init__.py:365-465) minus the

@@ -163,41 +163,49 @@ def run_headline(spark) -> dict[str, float]:
     return q
 
 
-def run_scaling(core_levels=(2, 8, 32), supersteps: int = 6) -> dict:
+def run_scaling(core_levels=(2, 8, 32), supersteps: int = 6, repeats: int | None = None) -> dict:
     """Identical PageRank job at multiple parallelism levels.
 
     Per BASELINE.md, scaling efficiency between N and 4N is evidenced
-    by core-count pairs on this host: (2 → 8) and (8 → 32). The
-    per-superstep wall is taken as the **minimum** over steady-state
-    supersteps — this sandbox is a VM with intermittent host CPU
-    steal, and min-of-identical-supersteps is the steal-robust
-    estimator of the machine's actual throughput (every superstep
-    processes the same edge set, so the minimum is the true cost).
+    by core-count pairs on this host: (2 → 8) and (8 → 32). This
+    sandbox is a VM with heavy intermittent host CPU steal (a pure
+    numpy matmul probe varies 10× run to run), so the estimator must
+    be steal-robust: cycles over the levels are **interleaved in
+    time** (repeats) and the per-superstep wall is the **minimum**
+    over all steady-state supersteps of all cycles — every superstep
+    processes the same edge set, so the minimum is the machine's true
+    cost and the rest is host interference.
     """
     from aduana_spark.graph.pagerank import pagerank
 
+    repeats = repeats or int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     # identical partitioning (→ identical physical plan and task set) at
     # every level; only the number of worker threads varies — the same
     # way a cluster scales by adding executors under a fixed layout
     fixed_partitions = 2 * max(core_levels)
-    out = {"shuffle_partitions": fixed_partitions}
+    out = {"shuffle_partitions": fixed_partitions, "repeats": repeats}
+    walls_by_level: dict[int, list[float]] = {c: [] for c in core_levels}
+    n_edges = None
+    for _cycle in range(repeats):
+        for cores in core_levels:
+            spark = _session(cores, shuffle_partitions=fixed_partitions)
+            try:
+                edges = scaling_edges(spark)
+                res = pagerank(edges, precision=1e-6, max_iters=supersteps)
+                n_edges = res.n_edges
+                walls_by_level[cores] += [m.wall_sec for m in res.metrics][1:]
+            finally:
+                spark.stop()
     for cores in core_levels:
-        spark = _session(cores, shuffle_partitions=fixed_partitions)
-        try:
-            edges = scaling_edges(spark)
-            res = pagerank(edges, precision=1e-6, max_iters=supersteps)
-            walls = [m.wall_sec for m in res.metrics]
-            steady = walls[1:] or walls  # skip cache warm-up
-            best = min(steady)
-            out[f"n{cores}"] = {
-                "edges": res.n_edges,
-                "supersteps": len(walls),
-                "walls_sec": [round(w, 2) for w in walls],
-                "min_sec_per_superstep": round(best, 3),
-                "edges_per_sec": res.n_edges / best,
-            }
-        finally:
-            spark.stop()
+        walls = walls_by_level[cores]
+        best = min(walls)
+        out[f"n{cores}"] = {
+            "edges": n_edges,
+            "steady_supersteps": len(walls),
+            "walls_sec": [round(w, 2) for w in walls],
+            "min_sec_per_superstep": round(best, 3),
+            "edges_per_sec": n_edges / best,
+        }
     for n, n4 in zip(core_levels, core_levels[1:]):
         if f"n{n}" in out and f"n{n4}" in out:
             out[f"efficiency_{n}_to_{n4}"] = (
