@@ -48,9 +48,19 @@ def connected_components(
     max_iters: int = 50,
     checkpoint: CheckpointManager | str | None = None,
     checkpoint_interval: int = 5,
+    algorithm: str = "minprop",
 ) -> IterativeResult:
     """Returns ranks DataFrame (id, component) — component = min id in
-    the weakly connected component."""
+    the weakly connected component.
+
+    ``algorithm='minprop'`` (default): O(diameter) min-label
+    propagation — right for shallow crawl graphs.
+    ``algorithm='two-phase'``: alternating large-star/small-star
+    (Kiveris et al.), O(log²) rounds — the scale path for
+    high-diameter graphs (see ``connected_components_two_phase``).
+    """
+    if algorithm == "two-phase":
+        return connected_components_two_phase(edges, max_iters=max_iters)
     spark = edges.sparkSession
     ckpt = (
         CheckpointManager(checkpoint, "components")
@@ -116,6 +126,113 @@ def connected_components(
 
     return IterativeResult(
         ranks=state,
+        converged=converged,
+        n_iterations=it,
+        n_vertices=n_vertices,
+        n_edges=n_edges,
+        metrics=metrics,
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """For each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+    ``sym`` must contain both directions of every edge."""
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.col("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _small_star(directed: DataFrame) -> DataFrame:
+    """Input edges point large→small (src > dst). For each u:
+    m = min(N(u) ∪ {u}) over its smaller neighbors; emit (v, m) for
+    v ∈ N(u) ∪ {u}, v ≠ m."""
+    mins = directed.groupBy("src").agg(
+        F.least(F.min("dst"), F.col("src")).alias("m")
+    )
+    joined = directed.join(mins, "src")
+    nbr_edges = joined.select(F.col("dst").alias("v"), F.col("m"))
+    self_edges = mins.select(F.col("src").alias("v"), F.col("m"))
+    return (
+        nbr_edges.unionAll(self_edges)
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def connected_components_two_phase(
+    edges: DataFrame, max_iters: int = 40
+) -> IterativeResult:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log² n) rounds independent of graph diameter, so a
+    10^12-edge graph with a long-tail path structure still finishes in
+    ~dozens of rounds where min-propagation would need thousands.
+
+    Each round is two groupBy-min + join passes over the shrinking
+    edge list; convergence = the small-star output is a stable
+    star forest (edge multiset unchanged, detected by count +
+    order-insensitive hash)."""
+    import time as _time
+
+    spark = edges.sparkSession
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_vertices = verts.count()
+    cur = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    n_edges = cur.count()
+
+    def _sig(df: DataFrame):
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    metrics: list[SuperstepMetrics] = []
+    converged = False
+    prev_sig = None
+    it = 0
+    for it in range(1, max_iters + 1):
+        t0 = _time.time()
+        sym = cur.unionAll(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        after_large = _large_star(sym)
+        cur = _small_star(after_large).localCheckpoint(eager=False)
+        sig = _sig(cur)
+        wall = _time.time() - t0
+        metrics.append(
+            SuperstepMetrics(it, float(sig[0]), wall, n_edges, n_edges / max(wall, 1e-9))
+        )
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+
+    # stable star forest: cur maps v → root; isolated vertices map to self
+    comp = verts.join(
+        cur.select(F.col("src").alias("id"), F.col("dst").alias("component")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("component", F.col("id")).alias("component"))
+    return IterativeResult(
+        ranks=comp,
         converged=converged,
         n_iterations=it,
         n_vertices=n_vertices,

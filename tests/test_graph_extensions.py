@@ -91,3 +91,43 @@ def test_bfs_max_depth(spark):
         for r in bfs_depths(_edges_df(spark, edges), seeds, max_depth=2).collect()
     }
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_two_phase_cc_matches_minprop_and_nx(spark):
+    """large-star/small-star converges in O(log) rounds on a long path
+    where min-propagation needs O(n) supersteps."""
+    from aduana_spark.graph.components import connected_components_two_phase
+
+    # 150-node path + a clique + isolated self-loop vertex
+    edges = [(i, i + 1) for i in range(150)]
+    edges += [(200 + i, 200 + j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(300, 300)]
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    want = {}
+    for comp in nx.connected_components(g):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+
+    df = _edges_df(spark, edges)
+    res = connected_components_two_phase(df)
+    got = {r["id"]: r["component"] for r in res.ranks.collect()}
+    assert got == want
+    assert res.converged
+    assert res.n_iterations <= 12  # O(log n), not O(n)
+
+
+def test_two_phase_cc_random_graph(spark):
+    from aduana_spark.graph.components import connected_components_two_phase
+
+    edges, n = random_digraph(n=200, p=0.005, seed=13)
+    g = nx.DiGraph(edges)
+    want = {}
+    for comp in nx.weakly_connected_components(g):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    res = connected_components_two_phase(_edges_df(spark, edges))
+    got = {r["id"]: r["component"] for r in res.ranks.collect()}
+    assert got == want
