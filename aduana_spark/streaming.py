@@ -102,3 +102,26 @@ class StreamingIngest:
         if trigger_once:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+def streaming_domain_temperature(
+    crawl_stream: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """A8 as a stream: per-domain crawl counts over event-time windows
+    with late-data handling. The reference's DomainTemp table
+    (domain_temp.c:25-53) is the single-process incremental
+    approximation of exactly this windowed count; here watermarking
+    bounds the state the same way its fixed-size table did.
+
+    Input: streaming DataFrame with (domain STRING, ts TIMESTAMP).
+    Output: (window, domain, temp) streaming aggregation — pair with
+    ``writeStream.outputMode("update"|"complete")``.
+    """
+    return (
+        crawl_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide or window), F.col("domain"))
+        .agg(F.count("*").alias("temp"))
+    )

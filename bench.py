@@ -225,7 +225,10 @@ def main() -> None:
 
     scaling = None
     if not SKIP_SCALING:
-        scaling = run_scaling()
+        # driver-budget-friendly default: the (N=8 → 4N=32) pair; the
+        # full 3-level protocol (2/8/32) is run_scaling's default and
+        # recorded in BENCH.md
+        scaling = run_scaling(core_levels=(8, 32), supersteps=5)
 
     pr = globals().get("_PR_RESULT")
     result = {

@@ -92,3 +92,41 @@ def test_streaming_ingest(spark, tmp_path):
     assert info["c"]["n_crawls"] == 0 and info["c"]["score"] in (0.1, 0.3)
     edges = {(r["src_url"], r["dst_url"]) for r in ing.edges.collect()}
     assert edges == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_streaming_domain_temperature_windows(spark, tmp_path):
+    """Watermarked event-time windows over a file-sourced crawl
+    stream reproduce the batch window counts."""
+    import json
+
+    from aduana_spark.streaming import streaming_domain_temperature
+
+    indir = tmp_path / "stream_in"
+    indir.mkdir()
+    rows = [
+        {"domain": "a.org", "ts": "2026-01-01T00:00:10"},
+        {"domain": "a.org", "ts": "2026-01-01T00:00:50"},
+        {"domain": "a.org", "ts": "2026-01-01T00:01:10"},
+        {"domain": "b.org", "ts": "2026-01-01T00:00:30"},
+    ]
+    with open(indir / "b0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("domain STRING, ts TIMESTAMP")
+        .json(str(indir))
+    )
+    agg = streaming_domain_temperature(stream, window="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("dt_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["domain"], r["window"]["start"].minute): r["temp"]
+        for r in spark.sql("SELECT * FROM dt_windows").collect()
+    }
+    assert got == {("a.org", 0): 2, ("a.org", 1): 1, ("b.org", 0): 1}

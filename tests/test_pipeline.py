@@ -211,3 +211,15 @@ def test_multimodal_fake_decode(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|codec|decode"):
         extract_media_features(media, dim=8, decoder="stub").collect()
+
+
+def test_ivf_topk_matches_brute_force_top1(spark, vectors):
+    from aduana_spark.pipeline.similarity import ivf_topk, kmeans_centroids
+
+    cents = kmeans_centroids(vectors, k=4, iters=3)
+    q = vectors.where(F.col("vec_id") == 2).first()["embedding"]
+    exact_top = brute_force_topk(vectors, q, k=2).collect()
+    approx = ivf_topk(vectors, q, k=2, centroids=cents, n_probe=2).collect()
+    assert approx[0]["vec_id"] == exact_top[0]["vec_id"] == 2
+    # the planted near-duplicate lands in the same or a probed cell
+    assert len(approx) >= 1
