@@ -271,3 +271,56 @@ class BFScheduler(BFSchedulerView):
             .persist()
         )
         self.schedule.count()
+
+
+class Backend:
+    """Mirror of the Frontera backend
+    (/root/reference/aduana/frontera.py:12-79): seeds become sentinel
+    '_seed_{n}' pages whose outlinks are the real seed URLs (score
+    default 1.0); crawled pages feed the scheduler; requests pop the
+    frontier view."""
+
+    def __init__(self, spark: SparkSession, scorer=None, max_depth: int | None = None):
+        self.scheduler = BFScheduler(spark, scorer=scorer, max_depth=max_depth)
+        self.page_db = PageDB(spark)
+        self._n_seeds = 0
+
+    def _add(self, page: CrawledPage) -> None:
+        ts = page.time or dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+        batch = self.page_db.spark.createDataFrame(
+            [
+                (
+                    self.page_db._order,
+                    page.url,
+                    [(u, float(s)) for u, s in page.links],
+                    float(page.score),
+                    page.hash or b"",
+                    ts.replace(tzinfo=None),
+                )
+            ],
+            schema=PageDB.BATCH_SCHEMA,
+        )
+        self.page_db._order += 1
+        self.scheduler.add(batch)
+        self.page_db.add(page)
+
+    def add_seeds(self, seed_urls: list[str], scores: list[float] | None = None) -> None:
+        scores = scores or [1.0] * len(seed_urls)
+        self._add(
+            CrawledPage(
+                url=f"_seed_{self._n_seeds}",
+                links=list(zip(seed_urls, scores)),
+            )
+        )
+        self._n_seeds += 1
+
+    def page_crawled(self, url: str, links: list[tuple[str, float]],
+                     score: float = 0.0, content_hash: bytes | None = None) -> None:
+        self._add(CrawledPage(url=url, links=links, score=score, hash=content_hash))
+
+    def request_error(self, url: str, error) -> None:
+        """The reference ignores errors (frontera.py:60-61); the view
+        recomputation makes retry automatic (U4)."""
+
+    def get_next_requests(self, max_n_requests: int) -> list[str]:
+        return self.scheduler.requests(max_n_requests)

@@ -109,3 +109,22 @@ def next_due_view(
         .limit(n)
         .select("url", "freq", "next_due")
     )
+
+
+def parse_freq_spec(lines: list[str]) -> list[FreqRule]:
+    """Text rule format of aduana.freq_spec
+    (/root/reference/aduana/__init__.py:583-607): one rule per line,
+    ``<regex> <action>`` where action ``xN`` multiplies the page's
+    estimated change rate by N and a bare number is a fixed revisit
+    interval in seconds. First matching rule wins."""
+    rules: list[FreqRule] = []
+    for line in lines:
+        cols = line.split()
+        if len(cols) != 2:
+            continue
+        pattern, action = cols
+        if action.startswith("x"):
+            rules.append(FreqRule(pattern, rate_multiplier=float(action[1:])))
+        else:
+            rules.append(FreqRule(pattern, fixed_interval=float(action)))
+    return rules

@@ -9,7 +9,12 @@ from aduana_spark.pipeline.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )
-from aduana_spark.pipeline.similarity import brute_force_topk, lsh_topk  # noqa: F401
+from aduana_spark.pipeline.similarity import (  # noqa: F401
+    brute_force_topk,
+    ivf_topk,
+    kmeans_centroids,
+    lsh_topk,
+)
 from aduana_spark.pipeline.textstats import (  # noqa: F401
     document_fingerprint,
     keyword_score_col,

@@ -187,3 +187,31 @@ def test_freq_spec_first_match_wins(spark):
     assert freqs["https://a.com"] == pytest.approx(2.0 * 0.1)  # 2 × (9+1)/100
     assert freqs["http://www.b"] == pytest.approx(1 / 200.0)
     assert freqs["http://c.com"] == pytest.approx(1 / 500.0)
+
+
+def test_parse_freq_spec():
+    from aduana_spark.frontier.freq_scheduler import parse_freq_spec
+
+    rules = parse_freq_spec(
+        ["https://.* x0.001", r"http://www\..* 200.0", ".* 500.0", "malformed"]
+    )
+    assert len(rules) == 3
+    assert rules[0].rate_multiplier == pytest.approx(0.001)
+    assert rules[1].fixed_interval == pytest.approx(200.0)
+    assert rules[2].fixed_interval == pytest.approx(500.0)
+
+
+def test_frontera_backend_flow(spark):
+    from aduana_spark.api import Backend
+
+    b = Backend(spark)
+    b.add_seeds(["https://a.org/", "https://b.org/"], scores=[0.9, 0.5])
+    got = b.get_next_requests(10)
+    assert got == ["https://a.org/", "https://b.org/"]
+    b.page_crawled("https://a.org/", [("https://a.org/deep", 0.7)], score=0.4)
+    assert b.get_next_requests(10) == ["https://a.org/deep"]
+    # seeds excluded from page-state views (F4)
+    from aduana_spark.frontier.page_info import is_seed_col
+
+    seeds = b.page_db.page_info.where(is_seed_col("url")).count()
+    assert seeds == 1
