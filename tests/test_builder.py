@@ -97,3 +97,27 @@ def test_assign_dense_ids(spark):
     rows = ids.collect()
     assert sorted(r["id"] for r in rows) == list(range(100))
     assert len({r["url"] for r in rows}) == 100
+
+
+def test_bucketed_edge_table_roundtrip(spark, tmp_path):
+    """storage: bucketed+sorted managed table round-trips and the
+    bucketed scan feeds a src-keyed join without re-shuffling the
+    edge side."""
+    from aduana_spark.graph.builder import build_edges
+    from aduana_spark.storage import read_edge_table, write_edge_table
+
+    raw = spark.createDataFrame(
+        [(f"https://d{i%5}.org/p{i}", f"https://d{(i+1)%5}.org/p{i+1}") for i in range(50)],
+        "src_url STRING, dst_url STRING",
+    )
+    e = build_edges(raw)
+    write_edge_table(e, name="test_edges_bucketed", buckets=4)
+    back = read_edge_table(spark, "test_edges_bucketed")
+    assert back.count() == e.count()
+    from pyspark.sql import functions as F
+
+    keys = back.select(F.col("src_url")).distinct().limit(10)
+    joined = back.join(keys, "src_url")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    spark.sql("DROP TABLE IF EXISTS test_edges_bucketed")
