@@ -128,3 +128,44 @@ def parse_freq_spec(lines: list[str]) -> list[FreqRule]:
         else:
             rules.append(FreqRule(pattern, fixed_interval=float(action)))
     return rules
+
+
+def simulate_serving(
+    freq_table: DataFrame,
+    t_start: float,
+    t_end: float,
+    batch: int = 4,
+    margin: float = 0.1,
+) -> dict[str, int]:
+    """EDF serving-loop simulation (mirrors the reference's
+    statistical test, test/test_freq_scheduler.py:6-55): repeatedly
+    pop due pages and reinsert with ``next_due += 1/freq``
+    (freq_scheduler.c:363-371). Driver loop over the view; serve
+    counts over [t_start, t_end) should approach
+    ``(t_end - t_start) * freq`` per page.
+
+    State (url, freq, next_due) is kept as plain Python — the loop is
+    control flow, exactly like the reference's cursor loop; the heavy
+    lifting (building freq_table from page state) is the Spark part.
+    """
+    import heapq
+
+    rows = freq_table.select("url", "freq", "last_crawl").collect()
+    heap = [
+        (
+            (r["last_crawl"].timestamp() if r["last_crawl"] else t_start)
+            + 1.0 / r["freq"],
+            r["url"],
+            float(r["freq"]),
+        )
+        for r in rows
+    ]
+    heapq.heapify(heap)
+    served: dict[str, int] = {}
+    while heap:
+        due, url, freq = heapq.heappop(heap)
+        if due >= t_end:
+            break
+        served[url] = served.get(url, 0) + 1
+        heapq.heappush(heap, (due + 1.0 / freq, url, freq))
+    return served

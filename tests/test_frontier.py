@@ -215,3 +215,33 @@ def test_frontera_backend_flow(spark):
 
     seeds = b.page_db.page_info.where(is_seed_col("url")).count()
     assert seeds == 1
+
+
+def test_freq_serving_ratios(spark):
+    """Statistical property (reference test_freq_scheduler.py:6-55):
+    long-run serve counts per page are proportional to the page's
+    revisit frequency."""
+    from aduana_spark.frontier.freq_scheduler import simulate_serving
+
+    pi = spark.createDataFrame(
+        [
+            ("https://a.com", None, 0, TS, TS, 0, 1, 0.0, None),
+            ("http://www.b", None, 0, TS, TS, 0, 1, 0.0, None),
+            ("http://c.com", None, 0, TS, TS, 0, 1, 0.0, None),
+        ],
+        schema="url STRING, linked_from STRING, depth BIGINT, first_crawl TIMESTAMP,"
+        " last_crawl TIMESTAMP, n_changes BIGINT, n_crawls BIGINT, score DOUBLE,"
+        " content_hash BINARY",
+    )
+    rules = [
+        FreqRule(r"https://.*", fixed_interval=10.0),   # 0.1 Hz
+        FreqRule(r"http://www\..*", fixed_interval=200.0),
+        FreqRule(r".*", fixed_interval=500.0),
+    ]
+    ft = build_freq_table(pi, rules=rules)
+    t0 = TS.timestamp()
+    served = simulate_serving(ft, t0, t0 + 10_000)
+    # expected ≈ horizon * freq
+    assert served["https://a.com"] == pytest.approx(1000, rel=0.01)
+    assert served["http://www.b"] == pytest.approx(50, rel=0.05)
+    assert served["http://c.com"] == pytest.approx(20, rel=0.05)
