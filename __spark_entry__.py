@@ -17,13 +17,35 @@ stable digits.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """The driver supplies its own SparkSession; its Python workers
+    must be able to import aduana_spark for the Arrow-UDF queries
+    regardless of cwd. Ship the package once per session via
+    addPyFile (the local-mode analog of spark-submit --py-files)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_aduana_pyfiles_added", False):
+        return
+    import os
+    import shutil
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo) if repo not in sys.path else None
+    zip_base = "/tmp/aduana_spark_pkg"
+    if not os.path.exists(zip_base + ".zip"):
+        shutil.make_archive(zip_base, "zip", root_dir=repo, base_dir="aduana_spark")
+    sc.addPyFile(zip_base + ".zip")
+    sc._aduana_pyfiles_added = True
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pyfiles(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
