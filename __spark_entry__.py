@@ -207,8 +207,10 @@ def _q_change_counter(spark, sf_dir):
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
+    # null-safe compare mirrors the oracle's IS DISTINCT FROM (no nulls
+    # in the current data, but the gate must not rot if that changes)
     changed = F.when(
-        prev.isNotNull() & (prev != F.col("event_type")), 1
+        prev.isNotNull() & ~prev.eqNullSafe(F.col("event_type")), 1
     ).otherwise(0)
     return (
         ev.select("user_id", changed.alias("chg"))
@@ -327,25 +329,34 @@ def _q_embedding_topk(spark, sf_dir):
 
 
 def _q_pagerank_orders(spark, sf_dir):
-    # §2.10 PageRank (fixture-gated in tests/); rows-only check here
+    # §2.10 PageRank over the bipartite customer→order graph, run to a
+    # 1e-12 fixpoint so the converged ranks match the graph's closed
+    # form (rem = N/(N + d·Nc); r_cust = rem/N; r_order =
+    # (1 + d/deg_cust)·rem/N — dangling orders feed rem, page_rank.c
+    # remainder semantics). The DuckDB oracle evaluates that closed
+    # form; golden fixtures in tests/ gate the general iterative path.
     from aduana_spark.graph.pagerank import pagerank
 
-    res = pagerank(_order_edges(spark, sf_dir), precision=1e-8, max_iters=50)
+    res = pagerank(_order_edges(spark, sf_dir), precision=1e-12, max_iters=50)
     return (
-        res.ranks.select("id", F.round("rank", 8).alias("rank"))
+        res.ranks.select("id", F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("id").asc())
         .limit(100)
     )
 
 
 def _q_hits_orders(spark, sf_dir):
-    # §2.10 HITS (fixture-gated in tests/); rows-only check here
+    # §2.10 HITS, fixed 4 Jacobi supersteps over the bipartite graph:
+    # after T steps h ∝ deg^⌈T/2⌉ and a ∝ deg^⌊T/2⌋ (hits.c L1
+    # normalization), so T=4 gives hub = deg²/Σdeg², auth =
+    # deg²/Σdeg³ — exactly SQL-expressible. Convergence-to-precision
+    # is fixture-gated in tests/test_hits.py.
     from aduana_spark.graph.hits import hits
 
-    res = hits(_order_edges(spark, sf_dir), precision=1e-8, max_iters=50)
+    res = hits(_order_edges(spark, sf_dir), precision=0.0, max_iters=4)
     return (
         res.ranks.select(
-            "id", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
+            "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
         )
         .orderBy(F.col("auth").desc(), F.col("id").asc())
         .limit(100)
@@ -353,22 +364,35 @@ def _q_hits_orders(spark, sf_dir):
 
 
 def _q_minhash_candidates(spark, sf_dir):
-    # pipeline.dedup MinHash+LSH (pytest-oracled; rows-only here)
+    # pipeline.dedup MinHash+LSH with exact-Jaccard verify: band
+    # buckets prune to candidate pairs, exact shingle Jaccard filters
+    # to >= 0.5. The corpus's planted near-dups sit at J >= 0.9 with a
+    # clean gap below 0.15, so band recall is 1 here and the output is
+    # a pure function of the documents — DuckDB verifies all-pairs.
     from aduana_spark.pipeline.dedup import minhash_lsh_candidates
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(
-        d, "doc_id", "text", num_perm=32, bands=8, shingle_k=3, threshold=0.2
-    ).orderBy("id_a", "id_b")
+    return (
+        minhash_lsh_candidates(
+            d, "doc_id", "text", num_perm=32, bands=8, shingle_k=3, threshold=0.5
+        )
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _q_simhash_near_dups(spark, sf_dir):
-    # pipeline.dedup SimHash banding (pytest-oracled; rows-only here)
-    from aduana_spark.pipeline.dedup import simhash_near_duplicates
+    # pipeline.dedup SimHash banding + exact shingle-Jaccard verify
+    # (4-shingles, distinct from the minhash query's 3-shingles)
+    from aduana_spark.pipeline.dedup import simhash_verified_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=8).orderBy(
-        "id_a", "id_b"
+    return (
+        simhash_verified_near_duplicates(
+            d, "doc_id", "text", max_hamming=8, shingle_k=4, threshold=0.5
+        )
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -431,7 +455,11 @@ def _q_freq_next_due(spark, sf_dir):
 
 
 def _q_label_propagation(spark, sf_dir):
-    # north-rule label propagation (structure-gated in tests/)
+    # north-rule label propagation. Synchronous LP on a bipartite star
+    # oscillates with period 2, so the state after a fixed T=5
+    # supersteps is closed-form: nations carry their hub's id (100+r),
+    # hubs carry the min nation id of their region (min-label
+    # tie-break) — which is what the DuckDB oracle encodes.
     from aduana_spark.graph.labelprop import label_propagation
 
     res = label_propagation(_nation_star_edges(spark, sf_dir), max_iters=5)
@@ -520,7 +548,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id ORDER BY user_id
         """,
         "change_counter": """
-            SELECT user_id, SUM(chg) AS n_changes FROM (
+            -- CAST: DuckDB SUM(int) is HUGEINT; Spark SUM is BIGINT —
+            -- a dtype-sensitive value hash diverges on equal values
+            SELECT user_id, CAST(SUM(chg) AS BIGINT) AS n_changes FROM (
               SELECT user_id,
                      CASE WHEN LAG(event_type) OVER
                           (PARTITION BY user_id ORDER BY ts, event_id)
@@ -638,8 +668,95 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
-        # pagerank_orders / hits_orders / minhash_candidates /
-        # simhash_near_dups / label_propagation: iterative or
-        # signature-based — verified by golden fixtures + independent
-        # numpy oracles in tests/; driver records rows-only here.
+        "pagerank_orders": """
+            -- closed-form converged PageRank of the bipartite
+            -- customer→order graph (orders dangling): rem = N/(N+d·Nc),
+            -- r_cust = rem/N, r_order = (1 + d/deg_cust)·rem/N.
+            -- Top-100 are all orders (r_order > r_cust, No >> 100).
+            WITH deg AS (
+              SELECT o_custkey AS c, COUNT(*) AS dg FROM orders GROUP BY 1
+            ), nn AS (
+              SELECT (SELECT COUNT(*) FROM deg) AS nc,
+                     (SELECT COUNT(*) FROM orders) AS no
+            )
+            SELECT CAST(o.o_orderkey + 1000000 AS BIGINT) AS id,
+                   ROUND((1.0 + 0.85 / deg.dg) / (nn.nc + nn.no + 0.85 * nn.nc), 6)
+                   AS rank
+            FROM orders o JOIN deg ON o.o_custkey = deg.c CROSS JOIN nn
+            ORDER BY rank DESC, id ASC LIMIT 100
+        """,
+        "hits_orders": """
+            -- closed form after exactly 4 Jacobi HITS supersteps with
+            -- L1 normalization: auth(order) = deg² / Σ_cust deg³;
+            -- hub(order) = 0 (orders have no out-edges)
+            WITH deg AS (
+              SELECT o_custkey AS c, COUNT(*) AS dg FROM orders GROUP BY 1
+            ), z AS (
+              SELECT SUM(CAST(dg AS DOUBLE) * dg * dg) AS z3 FROM deg
+            )
+            SELECT CAST(o.o_orderkey + 1000000 AS BIGINT) AS id,
+                   CAST(0.0 AS DOUBLE) AS hub,
+                   ROUND(CAST(deg.dg AS DOUBLE) * deg.dg / z.z3, 6) AS auth
+            FROM orders o JOIN deg ON o.o_custkey = deg.c CROSS JOIN z
+            ORDER BY auth DESC, id ASC LIMIT 100
+        """,
+        "label_propagation": """
+            -- synchronous LP state after T=5 supersteps on the
+            -- bipartite nation↔hub star (period-2 oscillation):
+            -- nations ← hub id (100+r); hubs ← min nation id (ties
+            -- broken toward the smallest label)
+            SELECT CAST(n_nationkey AS BIGINT) AS id,
+                   CAST(n_regionkey + 100 AS BIGINT) AS label
+            FROM nation
+            UNION ALL
+            SELECT CAST(n_regionkey + 100 AS BIGINT) AS id,
+                   CAST(MIN(n_nationkey) AS BIGINT) AS label
+            FROM nation GROUP BY n_regionkey
+            ORDER BY id
+        """,
+        "minhash_candidates": """
+            -- independent all-pairs oracle for the LSH+verify query:
+            -- exact 3-shingle Jaccard >= 0.5 (the corpus's near-dups
+            -- sit at J >= 0.9; LSH recall is 1 at this margin)
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 3, 0) + 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS s
+              FROM (
+                SELECT doc_id, string_split_regex(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                         ' ') AS toks
+                FROM documents
+              )
+            )
+            SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.s, b.s)) * 1.0
+                       / len(list_distinct(list_concat(a.s, b.s))) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE j >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "simhash_near_dups": """
+            -- independent all-pairs oracle for the simhash+verify
+            -- query: exact 4-shingle Jaccard >= 0.5
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 4, 0) + 2),
+                       i -> array_to_string(toks[i:i+3], ' '))) AS s
+              FROM (
+                SELECT doc_id, string_split_regex(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                         ' ') AS toks
+                FROM documents
+              )
+            )
+            SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.s, b.s)) * 1.0
+                       / len(list_distinct(list_concat(a.s, b.s))) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE j >= 0.5
+            ORDER BY id_a, id_b
+        """,
     }

@@ -17,17 +17,23 @@ Five tiers, cheapest first:
 Scale notes: every variant avoids the O(n²) cross join — candidates
 come from equality buckets, so the plan is shuffle-on-bucket +
 within-bucket join. Banding parameters trade recall for bucket skew;
-huge buckets (boilerplate shingles) should be capped upstream by
-filtering bucket sizes.
+degenerate buckets (boilerplate shingles that hash thousands of
+documents into one band bucket would otherwise self-join O(b²)) are
+capped by ``max_bucket_size``: oversized buckets are dropped from
+candidate generation and the drop is logged — never silent.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+logger = logging.getLogger(__name__)
 
 # ------------------------------------------------------------------ exact
 
@@ -61,12 +67,28 @@ def _shingle_col(text_col: str, k: int) -> F.Column:
     )
 
 
+#: splitmix64 finalizer constants — a full-avalanche 64-bit mixer.
+_MIX_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over uint64; all arithmetic is exact
+    mod 2^64 (the unsigned wraparound IS the hash's semantics — unlike
+    the (a*x+b) mod p family, which silently wrapped before the mod
+    and therefore wasn't the documented universal family)."""
+    x = (x ^ (x >> np.uint64(30))) * _MIX_M1
+    x = (x ^ (x >> np.uint64(27))) * _MIX_M2
+    return x ^ (x >> np.uint64(31))
+
+
 def _minhash_udf(num_perm: int, seed: int):
+    """num_perm independent hash functions h_i(x) = mix64(x ^ k_i)
+    with random 64-bit keys k_i — the standard keyed-mixer minhash
+    family (full avalanche ⇒ permutation-like on the shingle-hash
+    domain), vectorized over (perm × shingle) in one numpy op."""
     rng = np.random.RandomState(seed)
-    # universal hashing: h_i(x) = (a_i * x + b_i) mod p, p Mersenne 61
-    p = np.uint64((1 << 61) - 1)
-    a = rng.randint(1, 1 << 31, size=num_perm).astype(np.uint64)
-    b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
+    keys = rng.randint(0, 1 << 62, size=num_perm, dtype=np.int64).astype(np.uint64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(shingles: pd.Series) -> pd.Series:
@@ -76,12 +98,38 @@ def _minhash_udf(num_perm: int, seed: int):
                 out.append([0] * num_perm)
                 continue
             x = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            # (a ⊗ x + b) mod p, vectorized over (perm × shingle)
-            hv = (np.outer(a, x) + b[:, None]) % p
+            hv = _mix64(x[None, :] ^ keys[:, None])
             out.append(hv.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     return minhash
+
+
+def _cap_buckets(
+    buckets: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop candidate buckets larger than ``max_bucket_size`` (the
+    O(b²) self-join guard). The oversized-bucket list is tiny by
+    construction → broadcast anti-join; the drop count is logged so
+    the cap is never silent."""
+    if not max_bucket_size:
+        return buckets
+    big = (
+        buckets.groupBy(*keys)
+        .agg(F.count("*").alias("_bsz"))
+        .where(F.col("_bsz") > max_bucket_size)
+        .select(*keys)
+        .persist()
+    )
+    n_big = big.count()
+    if n_big:
+        logger.warning(
+            "dedup: dropping %d candidate buckets larger than %d docs "
+            "(boilerplate guard) — pairs inside them are NOT examined",
+            n_big,
+            max_bucket_size,
+        )
+    return buckets.join(F.broadcast(big), keys, "left_anti")
 
 
 def minhash_signatures(
@@ -109,9 +157,11 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
     threshold: float | None = None,
     seed: int = 42,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) with exact Jaccard
-    over shingle sets; optionally filtered to jaccard >= threshold."""
+    over shingle sets; optionally filtered to jaccard >= threshold.
+    Band buckets larger than ``max_bucket_size`` are dropped (logged)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed).persist()
@@ -137,6 +187,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size)
 
     left = buckets.select(
         "band", "bucket", F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
@@ -164,19 +215,7 @@ def minhash_lsh_candidates(
 # ----------------------------------------------------------------- simhash
 
 
-def simhash_signatures(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_k: int = 3,
-    seed: int = 42,
-) -> DataFrame:
-    """(doc_id, simhash LONG): majority-vote bit signature over
-    shingle hashes."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), _shingle_col(text_col, shingle_k).alias("shingles")
-    )
-
+def _simhash_udf():
     @F.pandas_udf(T.LongType())
     def simhash(shingles: pd.Series) -> pd.Series:
         res = np.zeros(len(shingles), dtype=np.uint64)
@@ -192,19 +231,27 @@ def simhash_signatures(
             )
         return pd.Series(res.astype(np.int64))
 
-    return sh.select("doc_id", simhash(F.col("shingles")).alias("simhash"))
+    return simhash
 
 
-def simhash_near_duplicates(
+def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 3,
     shingle_k: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
-    """Pairs (id_a < id_b, hamming) with Hamming(simhash) <= k, via
-    (k+1)-chunk banding (pigeonhole) + exact popcount verify."""
-    sigs = simhash_signatures(df, id_col, text_col, shingle_k).persist()
+    """(doc_id, simhash LONG): majority-vote bit signature over
+    shingle hashes."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), _shingle_col(text_col, shingle_k).alias("shingles")
+    )
+    return sh.select("doc_id", _simhash_udf()(F.col("shingles")).alias("simhash"))
+
+
+def _simhash_chunk_buckets(sigs: DataFrame, max_hamming: int) -> DataFrame:
+    """(k+1)-chunk banding of the 64-bit signature (pigeonhole: any
+    pair within Hamming k agrees on ≥1 chunk)."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     chunk_structs = [
@@ -216,11 +263,31 @@ def simhash_near_duplicates(
         )
         for ci in range(n_chunks)
     ]
-    buckets = sigs.select(
-        "doc_id",
-        "simhash",
+    return sigs.select(
+        "*",
         F.explode(F.array(*chunk_structs)).alias("cc"),
-    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key"))
+    ).select(
+        *[c for c in sigs.columns],
+        F.col("cc.chunk").alias("chunk"),
+        F.col("cc.key").alias("key"),
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Pairs (id_a < id_b, hamming) with Hamming(simhash) <= k, via
+    (k+1)-chunk banding (pigeonhole) + exact popcount verify. Chunk
+    buckets larger than ``max_bucket_size`` are dropped (logged)."""
+    sigs = simhash_signatures(df, id_col, text_col, shingle_k).persist()
+    buckets = _cap_buckets(
+        _simhash_chunk_buckets(sigs, max_hamming), ["chunk", "key"], max_bucket_size
+    )
     left = buckets.select("chunk", "key", F.col("doc_id").alias("id_a"), F.col("simhash").alias("s_a"))
     right = buckets.select("chunk", "key", F.col("doc_id").alias("id_b"), F.col("simhash").alias("s_b"))
     pairs = (
@@ -232,6 +299,48 @@ def simhash_near_duplicates(
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_verified_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """SimHash-accelerated near-duplicate detection with an **exact**
+    verify stage: candidates from (k+1)-chunk simhash banding, then
+    exact shingle-set Jaccard over each candidate pair, keeping
+    jaccard >= threshold. Unlike the signature-only variant above, the
+    emitted value is a pure function of the documents — so an
+    independent all-pairs SQL oracle can verify it end-to-end (the
+    driver gate); the simhash banding is only the candidate pruner."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), _shingle_col(text_col, shingle_k).alias("shingles")
+    ).withColumn("simhash", _simhash_udf()(F.col("shingles"))).persist()
+    buckets = _cap_buckets(
+        _simhash_chunk_buckets(base, max_hamming), ["chunk", "key"], max_bucket_size
+    )
+    left = buckets.select(
+        "chunk", "key", F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    right = buckets.select(
+        "chunk", "key", F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    pairs = (
+        left.join(right, ["chunk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(0.0).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 # ----------------------------------------------------------- n-gram jaccard
