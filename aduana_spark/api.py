@@ -44,8 +44,12 @@ class PageDB:
     """Mirror of aduana.PageDB (aduana/__init__.py:159-232): page-state
     store + link graph, backed by DataFrames instead of LMDB."""
 
+    # crawl_order is 64-bit: streaming ingest derives it from
+    # monotonically_increasing_id(), whose upper bits carry the
+    # partition index — an INT cast would collide across partitions
+    # and make within-batch first-writer-wins nondeterministic
     BATCH_SCHEMA = (
-        "crawl_order INT, url STRING, "
+        "crawl_order BIGINT, url STRING, "
         "links ARRAY<STRUCT<url: STRING, score: DOUBLE>>, "
         "page_score DOUBLE, content_hash BINARY, ts TIMESTAMP"
     )
@@ -70,9 +74,8 @@ class PageDB:
             "is not part of the engine surface"
         )
 
-    def add(self, page: CrawledPage) -> None:
-        """page_db_add (page_db.c:807-1016) for a single page; batch
-        ingest should build the batch DataFrame directly."""
+    def page_batch(self, page: CrawledPage) -> DataFrame:
+        """One-row crawl batch in BATCH_SCHEMA from a CrawledPage."""
         ts = page.time or dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
         batch = self.spark.createDataFrame(
             [
@@ -88,8 +91,16 @@ class PageDB:
             schema=self.BATCH_SCHEMA,
         )
         self._order += 1
-        self.page_info, _ = ingest_crawl_batch(self.page_info, batch)
-        self.page_info = self.page_info.persist()
+        return batch
+
+    def add_batch(self, batch: DataFrame) -> DataFrame:
+        """page_db_add (page_db.c:807-1016) for a whole batch: one
+        MERGE into page_info + an edge-log append. Returns the batch's
+        newly created crawlable pages (the schedule insertions) so a
+        scheduler sharing this PageDB ingests each batch exactly
+        once."""
+        new_info, new_sched = ingest_crawl_batch(self.page_info, batch)
+        self.page_info = new_info.persist()
         self.page_info.count()
         new_edges = batch.select(
             F.col("url").alias("src_url"),
@@ -97,6 +108,11 @@ class PageDB:
         ).select("src_url", F.col("l.url").alias("dst_url"))
         self.edges = self.edges.unionByName(new_edges).persist()
         self.edges.count()
+        return new_sched
+
+    def add(self, page: CrawledPage) -> None:
+        """Single-page convenience over ``add_batch``."""
+        self.add_batch(self.page_batch(page))
 
     def get_info(self, url: str):
         """S7 point lookup (page_db.c:1018-1067)."""
@@ -247,14 +263,82 @@ class BFScheduler(BFSchedulerView):
     best-first frontier with optional scorer re-keying. ``requests``
     pops from the view; after ``scorer.update()`` the schedule is
     re-keyed from the converged score table (the reference's
-    update-thread batches, bf_scheduler.c:401-487, become one join)."""
+    update-thread batches, bf_scheduler.c:401-487, become one join).
+    Politeness (``set_crawl_rate`` + geometric escalation) and
+    ``set_update_interval`` come from the view base class."""
 
-    def __init__(self, spark: SparkSession, scorer=None, max_depth: int | None = None):
-        super().__init__(spark, max_depth=max_depth)
+    def __init__(
+        self,
+        spark: SparkSession,
+        scorer=None,
+        max_depth: int | None = None,
+        page_db: PageDB | None = None,
+    ):
+        super().__init__(spark, max_depth=max_depth, page_db=page_db)
         self.scorer = scorer
+        self._pages_since_update = 0
+        self._last_update_time: float | None = None
+
+    @classmethod
+    def from_settings(
+        cls, spark: SparkSession, settings: dict, page_db: PageDB | None = None
+    ) -> "BFScheduler":
+        """Settings surface of BFScheduler.from_settings
+        (aduana/__init__.py:416-443, keys doc/python.rst:60-99):
+        SCORER (class, e.g. PageRankScorer), USE_SCORES,
+        PAGE_RANK_DAMPING (0.85), SOFT_CRAWL_LIMIT (0.25),
+        HARD_CRAWL_LIMIT (100.0), MAX_CRAWL_DEPTH,
+        SCORE_UPDATE_INTERVAL."""
+        db = page_db if page_db is not None else PageDB(spark)
+        scorer_class = settings.get("SCORER", None)
+        scorer = None
+        if scorer_class is not None:
+            scorer = scorer_class(db)
+            use_scores = settings.get("USE_SCORES", False)
+            if use_scores:
+                if scorer_class is PageRankScorer:
+                    scorer.damping = settings.get("PAGE_RANK_DAMPING", 0.85)
+                scorer.use_content_scores = use_scores
+        sch = cls(spark, scorer=scorer, page_db=db)
+        sch.set_crawl_rate(
+            settings.get("SOFT_CRAWL_LIMIT", 0.25),
+            settings.get("HARD_CRAWL_LIMIT", 100.0),
+        )
+        max_depth = settings.get("MAX_CRAWL_DEPTH", None)
+        if max_depth:
+            sch.set_max_crawl_depth(max_depth)
+        update_interval = settings.get("SCORE_UPDATE_INTERVAL", None)
+        if update_interval:
+            sch.set_update_interval(update_interval)
+        return sch
 
     def set_max_crawl_depth(self, d: int) -> None:
         self.max_depth = d or None
+
+    def add(self, batch: DataFrame) -> None:
+        super().add(batch)
+        self._pages_since_update += 1
+
+    def maybe_update(self, now: float | None = None) -> bool:
+        """The reference's update thread (bf_scheduler.c:537-549 +
+        update_interval): recompute scores when enough new pages
+        arrived and the interval elapsed. Returns True if an update
+        ran."""
+        import time as _time
+
+        from aduana_spark.frontier.domain_temp import update_due
+
+        now = now if now is not None else _time.time()
+        if self.update_interval is not None and self._last_update_time is not None:
+            if now - self._last_update_time < self.update_interval:
+                return False
+        n_old = max(self.page_info.count() - self._pages_since_update, 0)
+        if not update_due(n_old, self._pages_since_update):
+            return False
+        self.update_scores()
+        self._last_update_time = now
+        self._pages_since_update = 0
+        return True
 
     def update_scores(self) -> None:
         """U2: re-key schedule entries from the scorer's converged
@@ -281,28 +365,17 @@ class Backend:
     frontier view."""
 
     def __init__(self, spark: SparkSession, scorer=None, max_depth: int | None = None):
-        self.scheduler = BFScheduler(spark, scorer=scorer, max_depth=max_depth)
         self.page_db = PageDB(spark)
+        # scheduler and PageDB share one page-info store: each crawl
+        # batch is ingested exactly once (the round-1 facade ran the
+        # same merge twice, doubling per-page jobs)
+        self.scheduler = BFScheduler(
+            spark, scorer=scorer, max_depth=max_depth, page_db=self.page_db
+        )
         self._n_seeds = 0
 
     def _add(self, page: CrawledPage) -> None:
-        ts = page.time or dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
-        batch = self.page_db.spark.createDataFrame(
-            [
-                (
-                    self.page_db._order,
-                    page.url,
-                    [(u, float(s)) for u, s in page.links],
-                    float(page.score),
-                    page.hash or b"",
-                    ts.replace(tzinfo=None),
-                )
-            ],
-            schema=PageDB.BATCH_SCHEMA,
-        )
-        self.page_db._order += 1
-        self.scheduler.add(batch)
-        self.page_db.add(page)
+        self.scheduler.add(self.page_db.page_batch(page))
 
     def add_seeds(self, seed_urls: list[str], scores: list[float] | None = None) -> None:
         scores = scores or [1.0] * len(seed_urls)

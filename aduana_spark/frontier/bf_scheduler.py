@@ -87,40 +87,137 @@ class BFSchedulerView:
     the ``BFScheduler`` API (aduana/__init__.py:365-465) minus the
     mutable store. Small-state (fixture-scale) DataFrames are kept
     persisted; at production scale each of these tables is an Iceberg
-    table and ingest is a MERGE job."""
+    table and ingest is a MERGE job.
 
-    def __init__(self, spark: SparkSession, max_depth: int | None = None):
+    When ``page_db`` is given, page state lives in that PageDB and
+    each batch is ingested exactly once (shared with the Frontera
+    ``Backend``); otherwise the view owns its page-info table.
+
+    ``set_crawl_rate(soft, hard)`` arms the politeness gate: crawled
+    pages heat their domain (page_db.c:858-860) over a linear-decay
+    window of ``10/hard_rate`` seconds (bf_scheduler.c:832-848), and
+    ``requests`` admits a page only while its domain temperature is
+    under the limit — first at the soft limit, then escalating
+    geometrically soft→hard in 5 steps until the request is filled
+    (bf_scheduler.c:782-804).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        max_depth: int | None = None,
+        page_db=None,
+    ):
         self.spark = spark
         self.max_depth = max_depth
-        self.page_info = empty_page_info(spark)
+        self._page_db = page_db
+        self._own_page_info = empty_page_info(spark) if page_db is None else None
         self.schedule = spark.createDataFrame([], "url STRING, score DOUBLE")
         self.served = spark.createDataFrame([], "url STRING")
+        self.crawl_log = spark.createDataFrame([], "domain STRING, ts TIMESTAMP")
+        self.soft_rate: float | None = None
+        self.hard_rate: float | None = None
+        self.temp_window: float | None = None
+        self.update_interval: float | None = None
+
+    @property
+    def page_info(self) -> DataFrame:
+        if self._page_db is not None:
+            return self._page_db.page_info
+        return self._own_page_info
+
+    @page_info.setter
+    def page_info(self, df: DataFrame) -> None:
+        if self._page_db is not None:
+            self._page_db.page_info = df
+        else:
+            self._own_page_info = df
+
+    def set_crawl_rate(self, soft_rate: float, hard_rate: float) -> None:
+        """bf_scheduler_set_max_domain_crawl_rate
+        (bf_scheduler.c:832-855): window sized so ~10 crawls at the
+        hard rate fit inside it."""
+        self.soft_rate = soft_rate
+        self.hard_rate = hard_rate
+        self.temp_window = 10.0 / hard_rate
+
+    def set_update_interval(self, seconds: float) -> None:
+        """BFScheduler.set_update_interval (aduana/__init__.py:463-465):
+        minimum seconds between scorer recomputations (consumed by the
+        api.BFScheduler facade's maybe_update)."""
+        self.update_interval = seconds
 
     def add(self, batch: DataFrame) -> None:
         """Ingest one crawl batch (bf_scheduler_add,
         bf_scheduler.c:157-246): page_db merge + schedule insertions
         for newly discovered crawlable pages (excluding seeds from
         nothing — the crawled page itself has n_crawls>0 and never
-        enters)."""
-        new_info, new_sched = ingest_crawl_batch(self.page_info, batch)
-        self.page_info = new_info.persist()
-        self.page_info.count()
+        enters). Crawled pages also heat their domain's temperature
+        (page_db.c:858-860)."""
+        if self._page_db is not None:
+            new_sched = self._page_db.add_batch(batch)
+        else:
+            new_info, new_sched = ingest_crawl_batch(self._own_page_info, batch)
+            self._own_page_info = new_info.persist()
+            self._own_page_info.count()
         self.schedule = self.schedule.unionByName(new_sched.select("url", "score")).persist()
         self.schedule.count()
+        self.crawl_log = self.crawl_log.unionByName(
+            batch.select(domain_col("url").alias("domain"), F.col("ts"))
+        ).persist()
 
-    def requests(self, n: int) -> list[str]:
+    def _escalation_limits(self) -> list[float | None]:
+        """The reference's request loop: one pass at the soft limit,
+        then 4 geometrically escalated passes up to the hard limit
+        when hard > soft, else a final pass at the hard limit
+        (bf_scheduler.c:782-804). No rate set → one unlimited pass."""
+        from aduana_spark.frontier.domain_temp import escalated_limits
+
+        if self.soft_rate is None or self.soft_rate < 0:
+            return [None]
+        if self.hard_rate is not None and self.hard_rate > self.soft_rate:
+            return list(escalated_limits(self.soft_rate, self.hard_rate, steps=5))
+        return [self.soft_rate, self.hard_rate if self.hard_rate is not None else self.soft_rate]
+
+    def requests(self, n: int, now: float | None = None) -> list[str]:
         """Pop up to n URLs (bf_scheduler_request): serve the view's
-        top-n and log them as served."""
-        top = frontier_topk(
-            self.schedule,
-            self.page_info,
-            n,
-            served=self.served,
-            max_depth=self.max_depth,
-        )
-        urls = [r["url"] for r in top.collect()]
-        if urls:
-            batch = self.spark.createDataFrame([(u,) for u in urls], "url STRING")
-            self.served = self.served.unionByName(batch).persist()
-            self.served.count()
+        top-n and log them as served. With a crawl rate armed, each
+        pass admits only domains whose temperature is under that
+        pass's limit; skipped pages stay scheduled and are re-examined
+        at the next (relaxed) limit."""
+        from aduana_spark.frontier.domain_temp import domain_temperature
+
+        limits = self._escalation_limits()
+        domain_rate = None
+        if limits != [None]:
+            if now is None:
+                last = self.crawl_log.agg(F.max("ts")).first()[0]
+                now = last.timestamp() if last is not None else 0.0
+            domain_rate = domain_temperature(
+                self.crawl_log, now=now, window_sec=self.temp_window, mode="linear"
+            ).persist()
+
+        urls: list[str] = []
+        for limit in limits:
+            if len(urls) >= n:
+                break
+            top = frontier_topk(
+                self.schedule,
+                self.page_info,
+                n - len(urls),
+                served=self.served,
+                max_depth=self.max_depth,
+                domain_rate=domain_rate,
+                crawl_limit=limit,
+            )
+            got = [r["url"] for r in top.collect()]
+            if got:
+                batch = self.spark.createDataFrame([(u,) for u in got], "url STRING")
+                self.served = self.served.unionByName(batch).persist()
+                self.served.count()
+                urls += got
+            if domain_rate is None:
+                break  # single unlimited pass
+        if domain_rate is not None:
+            domain_rate.unpersist()
         return urls

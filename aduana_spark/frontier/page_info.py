@@ -55,7 +55,7 @@ def ingest_crawl_batch(
 ) -> tuple[DataFrame, DataFrame]:
     """Apply one crawl batch; returns (new_page_info, new_schedule_rows).
 
-    ``batch`` columns: crawl_order INT, url STRING,
+    ``batch`` columns: crawl_order BIGINT, url STRING,
     links ARRAY<STRUCT<url STRING, score DOUBLE>>, page_score DOUBLE,
     content_hash BINARY, ts TIMESTAMP.
     ``new_schedule_rows``: (url, score) for newly created uncrawled

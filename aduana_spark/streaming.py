@@ -46,8 +46,11 @@ def parse_crawled_pages(raw: DataFrame) -> DataFrame:
             pair[0].alias("url"), pair[1].cast("double").alias("score")
         ),
     )
+    # crawl_order stays LONG: monotonically_increasing_id packs the
+    # partition index into the upper 33 bits — an int cast would
+    # collide across partitions and break first-writer-wins ordering
     return raw.select(
-        F.monotonically_increasing_id().cast("int").alias("crawl_order"),
+        F.monotonically_increasing_id().alias("crawl_order"),
         "url",
         links.alias("links"),
         F.coalesce(F.col("score"), F.lit(0.0)).alias("page_score"),

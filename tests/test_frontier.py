@@ -245,3 +245,191 @@ def test_freq_serving_ratios(spark):
     assert served["https://a.com"] == pytest.approx(1000, rel=0.01)
     assert served["http://www.b"] == pytest.approx(50, rel=0.05)
     assert served["http://c.com"] == pytest.approx(20, rel=0.05)
+
+
+# ---------------------------------------------------------------- round 2
+
+
+def test_bf_requests_escalation_politeness(spark):
+    """T2+F2 in the live request path (bf_scheduler.c:679-819): a hot
+    domain is deferred at the soft limit and admitted once the
+    escalation ladder relaxes past its temperature; cold domains are
+    served first even when the hot pages outscore them."""
+    t0 = TS
+    sch = BFSchedulerView(spark)
+    sch.set_crawl_rate(1.0, 4.0)  # window = 10/4.0 = 2.5 s
+    assert sch.temp_window == pytest.approx(2.5)
+    sch.add(
+        _batch(
+            spark,
+            0,
+            "https://seed.org/",
+            [
+                ("https://hot.org/a", 0.9),
+                ("https://hot.org/b", 0.8),
+                ("https://hot.org/c", 0.7),
+                ("https://cold.org/x", 0.5),
+                ("https://cold.org/y", 0.4),
+            ],
+            ts=t0,
+        )
+    )
+    # crawl two hot.org pages shortly before `now` → hot.org heats up
+    sch.add(_batch(spark, 1, "https://hot.org/a", [], ts=t0 + dt.timedelta(seconds=1)))
+    sch.add(_batch(spark, 2, "https://hot.org/b", [], ts=t0 + dt.timedelta(seconds=1.2)))
+    now = (t0 + dt.timedelta(seconds=2)).timestamp()
+    # hot.org temp = (1-1/2.5) + (1-0.8/2.5) = 0.6+0.68 = 1.28: above the
+    # soft limit 1.0, below the first escalation step 4^(1/4) ≈ 1.414
+    got = sch.requests(3, now=now)
+    assert got == ["https://cold.org/x", "https://cold.org/y", "https://hot.org/c"]
+    # without politeness the hot page would have been served first
+    sch2 = BFSchedulerView(spark)
+    sch2.page_info, sch2.schedule, sch2.served = (
+        sch.page_info,
+        sch.schedule,
+        spark.createDataFrame([], "url STRING"),
+    )
+    assert sch2.requests(1) == ["https://hot.org/c"]
+
+
+def test_bf_scheduler_from_settings(spark):
+    from aduana_spark.api import BFScheduler, PageRankScorer
+
+    sch = BFScheduler.from_settings(
+        spark,
+        {
+            "SCORER": PageRankScorer,
+            "MAX_CRAWL_DEPTH": 2,
+            "SOFT_CRAWL_LIMIT": 0.5,
+            "HARD_CRAWL_LIMIT": 8.0,
+            "SCORE_UPDATE_INTERVAL": 300,
+        },
+    )
+    assert sch.max_depth == 2
+    assert sch.soft_rate == pytest.approx(0.5)
+    assert sch.hard_rate == pytest.approx(8.0)
+    assert sch.temp_window == pytest.approx(10.0 / 8.0)
+    assert sch.update_interval == 300
+    assert sch.scorer is not None
+    # escalation ladder: 5 geometric steps soft → hard
+    limits = sch._escalation_limits()
+    assert len(limits) == 5
+    assert limits[0] == pytest.approx(0.5)
+    assert limits[-1] == pytest.approx(8.0)
+
+
+def test_freq_spec_anchored_and_null_excluded(spark):
+    """ADVICE round 1: rules anchor at the URL start (re.match), and
+    rule-unmatched pages stay excluded even when freq_min clipping is
+    active (NULL must not be clipped into admission)."""
+    pi = spark.createDataFrame(
+        [
+            ("https://a.com/x", None, 0, TS, TS + dt.timedelta(seconds=100), 0, 2, 0.0, None),
+            ("https://evil.com/?u=https://a.com/x", None, 0, TS,
+             TS + dt.timedelta(seconds=100), 0, 2, 0.0, None),
+        ],
+        schema="url STRING, linked_from STRING, depth BIGINT, first_crawl TIMESTAMP,"
+        " last_crawl TIMESTAMP, n_changes BIGINT, n_crawls BIGINT, score DOUBLE,"
+        " content_hash BINARY",
+    )
+    rules = [FreqRule(r"https://a\.com.*", fixed_interval=10.0)]
+    ft = build_freq_table(pi, rules=rules, freq_min=0.0001, freq_max=10.0)
+    urls = [r["url"] for r in ft.collect()]
+    assert urls == ["https://a.com/x"]
+
+
+def test_freq_load_simple_scale_semantics(spark):
+    """freq_scheduler_load_simple (freq_scheduler.c:188-219): every
+    crawled non-seed page gets freq_default, except pages with a
+    positive rate estimate get freq_scale × rate when freq_scale>0."""
+    from aduana_spark.frontier.freq_scheduler import FreqSchedulerView
+
+    pi = spark.createDataFrame(
+        [
+            # rate = (4+1)/100 = 0.05
+            ("https://a.com", None, 0, TS, TS + dt.timedelta(seconds=100), 4, 5, 0.0, None),
+            # single crawl → empty interval → rate sentinel -1
+            ("https://b.com", None, 0, TS, TS, 0, 1, 0.0, None),
+            ("_seed_0", None, 0, TS, TS, 0, 1, 0.0, None),
+            ("https://never.com", None, None, None, None, 0, 0, 0.0, None),
+        ],
+        schema="url STRING, linked_from STRING, depth BIGINT, first_crawl TIMESTAMP,"
+        " last_crawl TIMESTAMP, n_changes BIGINT, n_crawls BIGINT, score DOUBLE,"
+        " content_hash BINARY",
+    )
+    fs = FreqSchedulerView(spark, page_info=pi)
+    fs.load_simple(freq_default=0.01, freq_scale=2.0)
+    assert fs._schedule["https://a.com"][1] == pytest.approx(0.1)  # 2 × 0.05
+    assert fs._schedule["https://b.com"][1] == pytest.approx(0.01)  # default
+    assert "_seed_0" not in fs._schedule
+    assert "https://never.com" not in fs._schedule
+    # scale disabled (reference default -1): everyone gets the default
+    fs2 = FreqSchedulerView(spark, page_info=pi)
+    fs2.load_simple(freq_default=0.25)
+    assert fs2._schedule["https://a.com"][1] == pytest.approx(0.25)
+
+
+def test_freq_facade_margin_and_max_n_crawls(spark):
+    from aduana_spark.frontier.freq_scheduler import FreqSchedulerView
+
+    last = TS + dt.timedelta(seconds=100)
+    pi = spark.createDataFrame(
+        [
+            ("https://a.com", None, 0, TS, last, 4, 5, 0.0, None),
+            ("https://b.com", None, 0, TS, last, 4, 9, 0.0, None),
+        ],
+        schema="url STRING, linked_from STRING, depth BIGINT, first_crawl TIMESTAMP,"
+        " last_crawl TIMESTAMP, n_changes BIGINT, n_crawls BIGINT, score DOUBLE,"
+        " content_hash BINARY",
+    )
+    fs = FreqSchedulerView(spark, page_info=pi)
+    fs.margin = 0.1
+    fs.max_n_crawls = 9
+    fs.load([("https://a.com", 0.1), ("https://b.com", 0.1)])
+    t_last = last.timestamp()
+    # margin gate: 1/(0.1 × 1.1) = 9.09 s must have elapsed — the whole
+    # request interrupts at the first too-recent page
+    assert fs.requests(5, now=t_last + 5) == []
+    # after the gate: a.com served and reinserted with score += 1/freq;
+    # b.com hit max_n_crawls (9) → dropped at pop time, so the second
+    # slot pops a.com again (its last_crawl hasn't moved — no crawl
+    # happened between the pops, exactly like the reference's loop)
+    assert fs.requests(2, now=t_last + 9.5) == ["https://a.com", "https://a.com"]
+    assert "https://b.com" not in fs._schedule
+    assert fs._schedule["https://a.com"][0] == pytest.approx(20.0)
+
+
+def test_freq_facade_serving_ratios(spark):
+    """Reference statistical property (test_freq_scheduler.py:6-55)
+    driven through the facade's requests loop: long-run serve counts
+    are proportional to revisit frequency."""
+    from aduana_spark.frontier.freq_scheduler import FreqSchedulerView
+
+    fs = FreqSchedulerView(spark)
+    fs.load([("a", 0.1), ("b", 0.005), ("c", 0.002)])
+    served = fs.requests(10_000, now=0.0)
+    counts = {u: served.count(u) for u in "abc"}
+    total_rate = 0.107
+    horizon = 10_000 / total_rate
+    assert counts["a"] == pytest.approx(horizon * 0.1, rel=0.01)
+    assert counts["b"] == pytest.approx(horizon * 0.005, rel=0.02)
+    assert counts["c"] == pytest.approx(horizon * 0.002, rel=0.05)
+
+
+def test_freq_from_settings(spark):
+    from aduana_spark.frontier.freq_scheduler import FreqSchedulerView
+
+    pi = spark.createDataFrame(
+        [("https://a.com", None, 0, TS, TS + dt.timedelta(seconds=100), 4, 5, 0.0, None)],
+        schema="url STRING, linked_from STRING, depth BIGINT, first_crawl TIMESTAMP,"
+        " last_crawl TIMESTAMP, n_changes BIGINT, n_crawls BIGINT, score DOUBLE,"
+        " content_hash BINARY",
+    )
+    fs = FreqSchedulerView.from_settings(
+        spark,
+        {"FREQ_DEFAULT": 0.02, "FREQ_SCALE": 4.0, "FREQ_MARGIN": 0.5, "MAX_N_CRAWLS": 10},
+        page_info=pi,
+    )
+    assert fs.margin == pytest.approx(0.5)
+    assert fs.max_n_crawls == 10
+    assert fs._schedule["https://a.com"][1] == pytest.approx(0.2)  # 4 × 0.05
