@@ -57,7 +57,9 @@ def _oriented_by_degree(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_list(edges: DataFrame, orient_by_degree: bool = False) -> DataFrame:
+def triangle_list(
+    edges: DataFrame, orient_by_degree: bool = False, _caches: list | None = None
+) -> DataFrame:
     """DataFrame (a, b, c) — each undirected triangle exactly once.
 
     id orientation: chain join a<b<c, closing edge (a, c).
@@ -65,9 +67,16 @@ def triangle_list(edges: DataFrame, orient_by_degree: bool = False) -> DataFrame
     *source* (out-degree bounded by degeneracy — the DAG orientation
     gives every triangle exactly one vertex with two out-edges), and
     the closing pair is checked against the id-canonical edge set.
+
+    The oriented edge table is persisted (it feeds both sides of the
+    wedge join and the closing-edge check); pass ``_caches`` to
+    collect the persisted handles for unpersisting after the result
+    is materialized (``triangle_count`` does this automatically).
     """
     if not orient_by_degree:
         o = _oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+        if _caches is not None:
+            _caches.append(o)
         e1 = o.select(F.col("a"), F.col("b"))
         e2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
         wedges = e1.join(e2, "b")
@@ -76,6 +85,8 @@ def triangle_list(edges: DataFrame, orient_by_degree: bool = False) -> DataFrame
 
     und = _oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
     o = _oriented_by_degree(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    if _caches is not None:
+        _caches += [und, o]
     e1 = o.select(F.col("a").alias("u"), F.col("b").alias("v"))
     e2 = o.select(F.col("a").alias("u"), F.col("b").alias("w"))
     wedges = e1.join(e2, "u").where(F.col("v") < F.col("w"))
@@ -85,16 +96,29 @@ def triangle_list(edges: DataFrame, orient_by_degree: bool = False) -> DataFrame
     )
 
 
-def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    per_vertex: bool = False,
+    orient_by_degree: bool = False,
+    eager: bool = True,
+) -> DataFrame:
     """Global count (column ``n_triangles``) or per-vertex counts
     (id, n_triangles) matching ``networkx.triangles`` (each triangle
-    counted once per member vertex)."""
-    tris = triangle_list(edges)
+    counted once per member vertex). ``eager`` materializes the
+    (small, aggregated) result and frees the oriented-edge caches."""
+    caches: list = []
+    tris = triangle_list(edges, orient_by_degree, _caches=caches)
     if not per_vertex:
-        return tris.agg(F.count("*").alias("n_triangles"))
-    member = (
-        tris.select(F.col("a").alias("id"))
-        .unionAll(tris.select(F.col("b").alias("id")))
-        .unionAll(tris.select(F.col("c").alias("id")))
-    )
-    return member.groupBy("id").agg(F.count("*").alias("n_triangles"))
+        out = tris.agg(F.count("*").alias("n_triangles"))
+    else:
+        member = (
+            tris.select(F.col("a").alias("id"))
+            .unionAll(tris.select(F.col("b").alias("id")))
+            .unionAll(tris.select(F.col("c").alias("id")))
+        )
+        out = member.groupBy("id").agg(F.count("*").alias("n_triangles"))
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        for c in caches:
+            c.unpersist()
+    return out

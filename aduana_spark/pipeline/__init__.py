@@ -8,12 +8,16 @@ from aduana_spark.pipeline.dedup import (  # noqa: F401
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
+    simhash_verified_near_duplicates,
 )
 from aduana_spark.pipeline.similarity import (  # noqa: F401
+    add_ivf_cells,
+    add_lsh_buckets,
     brute_force_topk,
     ivf_topk,
     kmeans_centroids,
     lsh_topk,
+    query_signature,
 )
 from aduana_spark.pipeline.textstats import (  # noqa: F401
     document_fingerprint,

@@ -105,15 +105,28 @@ def _minhash_udf(num_perm: int, seed: int):
     return minhash
 
 
+def _finalize(out: DataFrame, caches: list[DataFrame], eager: bool) -> DataFrame:
+    """Materialize the (small) pair output and release the persisted
+    signature/bucket intermediates — round-1 leaked them for the
+    session's lifetime. ``eager=False`` restores lazy behavior with
+    caller-managed unpersists."""
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def _cap_buckets(
     buckets: DataFrame, keys: list[str], max_bucket_size: int | None
 ) -> DataFrame:
     """Drop candidate buckets larger than ``max_bucket_size`` (the
     O(b²) self-join guard). The oversized-bucket list is tiny by
     construction → broadcast anti-join; the drop count is logged so
-    the cap is never silent."""
+    the cap is never silent. Returns (capped buckets, cache-to-free)."""
     if not max_bucket_size:
-        return buckets
+        return buckets, None
     big = (
         buckets.groupBy(*keys)
         .agg(F.count("*").alias("_bsz"))
@@ -129,7 +142,7 @@ def _cap_buckets(
             n_big,
             max_bucket_size,
         )
-    return buckets.join(F.broadcast(big), keys, "left_anti")
+    return buckets.join(F.broadcast(big), keys, "left_anti"), big
 
 
 def minhash_signatures(
@@ -158,6 +171,7 @@ def minhash_lsh_candidates(
     threshold: float | None = None,
     seed: int = 42,
     max_bucket_size: int | None = 10_000,
+    eager: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) with exact Jaccard
     over shingle sets; optionally filtered to jaccard >= threshold.
@@ -187,7 +201,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size)
+    buckets, big = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size)
 
     left = buckets.select(
         "band", "bucket", F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
@@ -209,7 +223,7 @@ def minhash_lsh_candidates(
     )
     if threshold is not None:
         out = out.where(F.col("jaccard") >= threshold)
-    return out
+    return _finalize(out, [sigs] + ([big] if big is not None else []), eager)
 
 
 # ----------------------------------------------------------------- simhash
@@ -280,12 +294,13 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     shingle_k: int = 3,
     max_bucket_size: int | None = 10_000,
+    eager: bool = True,
 ) -> DataFrame:
     """Pairs (id_a < id_b, hamming) with Hamming(simhash) <= k, via
     (k+1)-chunk banding (pigeonhole) + exact popcount verify. Chunk
     buckets larger than ``max_bucket_size`` are dropped (logged)."""
     sigs = simhash_signatures(df, id_col, text_col, shingle_k).persist()
-    buckets = _cap_buckets(
+    buckets, big = _cap_buckets(
         _simhash_chunk_buckets(sigs, max_hamming), ["chunk", "key"], max_bucket_size
     )
     left = buckets.select("chunk", "key", F.col("doc_id").alias("id_a"), F.col("simhash").alias("s_a"))
@@ -296,9 +311,10 @@ def simhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
+    out = pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+    return _finalize(out, [sigs] + ([big] if big is not None else []), eager)
 
 
 def simhash_verified_near_duplicates(
@@ -309,6 +325,7 @@ def simhash_verified_near_duplicates(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = 10_000,
+    eager: bool = True,
 ) -> DataFrame:
     """SimHash-accelerated near-duplicate detection with an **exact**
     verify stage: candidates from (k+1)-chunk simhash banding, then
@@ -320,7 +337,7 @@ def simhash_verified_near_duplicates(
     base = df.select(
         F.col(id_col).alias("doc_id"), _shingle_col(text_col, shingle_k).alias("shingles")
     ).withColumn("simhash", _simhash_udf()(F.col("shingles"))).persist()
-    buckets = _cap_buckets(
+    buckets, big = _cap_buckets(
         _simhash_chunk_buckets(base, max_hamming), ["chunk", "key"], max_bucket_size
     )
     left = buckets.select(
@@ -336,11 +353,12 @@ def simhash_verified_near_duplicates(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return pairs.select(
+    out = pairs.select(
         "id_a",
         "id_b",
         F.when(union > 0, inter.cast("double") / union).otherwise(0.0).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+    return _finalize(out, [base] + ([big] if big is not None else []), eager)
 
 
 # ----------------------------------------------------------- n-gram jaccard
@@ -352,11 +370,39 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    candidate_mode: str = "lsh",
     length_bucket: int = 16,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
-    """Exact token-n-gram Jaccard over candidate pairs from
-    token-length buckets (docs within the same or adjacent length
-    bucket — |A∩B|/|A∪B| ≥ t bounds the length ratio)."""
+    """Exact token-n-gram Jaccard pairs (id_a < id_b, jaccard >=
+    threshold).
+
+    ``candidate_mode='lsh'`` (default, the 100 TB path): candidates
+    come from minhash band buckets over the same n-gram shingles —
+    sub-quadratic regardless of the corpus's length distribution.
+
+    ``candidate_mode='length'``: candidates from token-length buckets
+    (same or adjacent bucket, since Jaccard ≥ t bounds the length
+    ratio). Exact recall, but quadratic *within* a length band — on a
+    real corpus most same-length documents collide, so this mode is a
+    verification kernel for bounded corpora, not a candidate generator
+    at scale.
+    """
+    if candidate_mode == "lsh":
+        return minhash_lsh_candidates(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=n,
+            threshold=threshold,
+            seed=seed,
+        )
+    if candidate_mode != "length":
+        raise ValueError(f"unknown candidate_mode {candidate_mode!r}")
     sh = df.select(
         F.col(id_col).alias("doc_id"), _shingle_col(text_col, n).alias("sh")
     ).withColumn("nb", (F.size("sh") / length_bucket).cast("long"))
@@ -392,12 +438,10 @@ def embedding_near_duplicates(
     LSH buckets (single probe) + exact cosine verify inside buckets.
     Recall < 1 by construction (LSH); raise n_probes by lowering
     n_planes for higher recall."""
-    from aduana_spark.pipeline.similarity import _hyperplane_signature, _cosine_expr
+    from aduana_spark.pipeline.similarity import add_lsh_buckets, _cosine_expr
 
     tagged = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
-    tagged = tagged.withColumn(
-        "bucket", _hyperplane_signature(tagged, "v", n_planes, seed)
-    )
+    tagged = add_lsh_buckets(tagged, "v", n_planes, seed, bucket_col="bucket")
     left = tagged.select("bucket", F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
     right = tagged.select("bucket", F.col("doc_id").alias("id_b"), F.col("v").alias("v_b"))
     pairs = left.join(right, "bucket").where(F.col("id_a") < F.col("id_b"))

@@ -11,15 +11,27 @@
   bucketed self-join.
 
 An IVF variant (k-means coarse quantizer) follows the same plumbing —
-assign to nearest centroid (a small broadcast table), shuffle on
-centroid id, rerank within cell.
+assign to nearest centroid, shuffle on centroid id, rerank within
+cell.
+
+Bucket/cell assignment is an Arrow-vectorized pandas UDF over a
+numpy matrix — NOT plan literals: folding k×dim floats into the
+Catalyst plan re-analyzes megabyte plans per query and dies around
+k·dim ≈ 10^6 (realistic IVF sizes). Centroids ship to executors via
+``SparkContext.broadcast``; hyperplanes are regenerated per executor
+from the (seed, dim) pair, which is cheaper than shipping them. Both
+``add_lsh_buckets`` and ``add_ivf_cells`` exist so the bucket/cell
+column is computed once and persisted WITH the table (write the
+parquet/Iceberg table partitioned by it) instead of per query.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: str | Column, b: str | Column) -> Column:
@@ -58,29 +70,59 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_signature(
-    df: DataFrame, vec_col: str, n_planes: int, seed: int
-) -> Column:
+def _vec_matrix(vecs: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(valid_mask, float64 matrix of the valid rows) from an Arrow
+    batch of array columns (fixed-dim embeddings)."""
+    valid = np.array([v is not None and len(v) > 0 for v in vecs], dtype=bool)
+    rows = [np.asarray(v, dtype=np.float64) for v, ok in zip(vecs, valid) if ok]
+    mat = np.stack(rows) if rows else np.zeros((0, 1))
+    return valid, mat
+
+
+def _hyperplane_sig_udf(n_planes: int, seed: int):
     """LSH bucket id: sign pattern of n_planes random projections,
-    packed into a LONG. Plane coefficients are literals folded into
-    the plan (broadcast-free)."""
-    first = df.select(F.size(vec_col).alias("d")).first()
-    dim = first["d"] if first else 0
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(c)) for c in planes[p]]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    packed into a LONG. One Arrow batch = one (batch × dim) @
+    (dim × planes) matmul; the plane matrix is regenerated per
+    executor from (seed, dim) — deterministic, nothing in the plan.
+    Null/empty vectors get bucket -1."""
+
+    @F.pandas_udf(T.LongType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        out = np.full(len(vecs), -1, dtype=np.int64)
+        valid, mat = _vec_matrix(vecs)
+        if valid.any():
+            planes = np.random.RandomState(seed).randn(n_planes, mat.shape[1])
+            bits = (mat @ planes.T) > 0
+            weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+            out[valid] = (bits.astype(np.uint64) @ weights).astype(np.int64)
+        return pd.Series(out)
+
     return sig
+
+
+def add_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    bucket_col: str = "_bucket",
+) -> DataFrame:
+    """Attach the hyperplane bucket column. Compute this ONCE and
+    persist it with the table (ideally as the table's partition
+    column) — per-query recomputation scans every vector."""
+    return df.withColumn(bucket_col, _hyperplane_sig_udf(n_planes, seed)(F.col(vec_col)))
+
+
+def query_signature(query: list[float], n_planes: int = 8, seed: int = 42) -> int:
+    """Driver-side signature of one query vector under the same
+    (seed, dim) plane matrix the executors generate."""
+    q = np.asarray(query, dtype=float)
+    planes = np.random.RandomState(seed).randn(n_planes, len(q))
+    qsig = 0
+    for p in range(n_planes):
+        if planes[p] @ q > 0:
+            qsig |= 1 << p
+    return qsig
 
 
 def lsh_topk(
@@ -92,27 +134,62 @@ def lsh_topk(
     n_planes: int = 8,
     multiprobe: bool = True,
     seed: int = 42,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: probe the query's hyperplane bucket
     (plus Hamming-1 neighbor buckets when ``multiprobe``), exact
-    rerank inside."""
-    rng = np.random.RandomState(seed)
-    q = np.asarray(query, dtype=float)
-    planes = rng.randn(n_planes, len(q))
-    qsig = 0
-    for p in range(n_planes):
-        if planes[p] @ q > 0:
-            qsig |= 1 << p
+    rerank inside. Pass ``bucket_col`` when ``add_lsh_buckets`` was
+    already applied (the scale path: signatures stored with the table,
+    so a query touches only its probe partitions)."""
+    qsig = query_signature(query, n_planes, seed)
     probes = [qsig]
     if multiprobe:
         probes += [qsig ^ (1 << p) for p in range(n_planes)]
 
-    sig = _hyperplane_signature(df, vec_col, n_planes, seed)
-    bucketed = df.withColumn("_bucket", sig).where(F.col("_bucket").isin(probes))
+    if bucket_col is None:
+        df = add_lsh_buckets(df, vec_col, n_planes, seed)
+        bucket_col = "_bucket"
+    bucketed = df.where(F.col(bucket_col).isin(probes))
     return brute_force_topk(bucketed, query, k, id_col, vec_col)
 
 
 # ------------------------------------------------------------------- IVF
+
+
+def _nearest_centroid_udf(spark, centroids: np.ndarray):
+    """argmin_c ||v - c||² as an Arrow-vectorized pandas UDF: since
+    ||v|| is shared, argmin of (||c||² - 2·v·c) — one (batch × dim) @
+    (dim × k) matmul per Arrow batch. Centroids ship once per executor
+    via SparkContext.broadcast; the plan stays O(1) regardless of
+    k × dim (plan literals died around k·dim ≈ 10^6). Null/empty
+    vectors get cell -1."""
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        cents = bc.value  # (k, dim)
+        out = np.full(len(vecs), -1, dtype=np.int32)
+        valid, mat = _vec_matrix(vecs)
+        if valid.any():
+            d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
+            out[valid] = d.argmin(axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return assign
+
+
+def add_ivf_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "_cell",
+) -> DataFrame:
+    """Attach the IVF cell column. At scale, write the table
+    partitioned by this column so a query's probe set prunes to
+    n_probe partitions at the scan."""
+    return df.withColumn(
+        cell_col, _nearest_centroid_udf(df.sparkSession, centroids)(F.col(vec_col))
+    )
 
 
 def kmeans_centroids(
@@ -123,10 +200,10 @@ def kmeans_centroids(
     seed: int = 42,
     sample_limit: int = 4096,
 ) -> np.ndarray:
-    """Coarse quantizer for IVF: Lloyd's k-means. Centroids are tiny
-    (k × dim) so each assignment pass broadcasts them as plan
-    literals; updates aggregate per-cell sums/counts distributedly —
-    one groupBy per iteration, no driver-side data beyond k rows."""
+    """Coarse quantizer for IVF: Lloyd's k-means. Assignment is the
+    broadcast pandas UDF above; updates aggregate per-cell sums/counts
+    distributedly — one groupBy per iteration, and the only
+    driver-side data is the k × dim (cell, pos, sum, count) rows."""
     import pyspark.sql.functions as F  # noqa: F811
 
     first = np.array(
@@ -136,8 +213,8 @@ def kmeans_centroids(
     rng = np.random.RandomState(seed)
     cents = first[rng.choice(len(first), size=min(k, len(first)), replace=False)]
     for _ in range(iters):
-        assigned = df.select(
-            _nearest_centroid_col(vec_col, cents).alias("cell"), F.col(vec_col).alias("v")
+        assigned = add_ivf_cells(df, cents, vec_col, "cell").select(
+            "cell", F.col(vec_col).alias("v")
         )
         agg = (
             assigned.select(
@@ -160,19 +237,6 @@ def kmeans_centroids(
     return cents
 
 
-def _nearest_centroid_col(vec_col: str, centroids: np.ndarray) -> Column:
-    """argmin_c ||v - c||² as a pure Column expression: since ||v|| is
-    shared, argmin of (||c||² - 2·v·c); centroids fold into the plan
-    as literals (k ≤ ~64)."""
-    best = None
-    for ci, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.lit(float((c * c).sum())) - 2.0 * _dot(vec_col, carr)
-        s = F.struct(d.alias("d"), F.lit(ci).alias("c"))
-        best = s if best is None else F.least(best, s)
-    return best["c"]
-
-
 def ivf_topk(
     df: DataFrame,
     query: list[float],
@@ -183,18 +247,21 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign vectors to their nearest k-means
-    cell (partition-pruned at scale by writing the table partitioned
-    by cell), probe the ``n_probe`` cells nearest the query, exact
-    cosine rerank inside. Pass precomputed ``centroids`` to amortize
-    the quantizer across queries."""
+    cell, probe the ``n_probe`` cells nearest the query, exact cosine
+    rerank inside. Pass precomputed ``centroids`` to amortize the
+    quantizer across queries, and ``cell_col`` when ``add_ivf_cells``
+    was already applied/persisted (the scale path)."""
     if centroids is None:
         centroids = kmeans_centroids(df, vec_col, k=n_cells, seed=seed)
     q = np.asarray(query, dtype=float)
     d2 = ((centroids - q) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(d2)[:n_probe]]
-    cells = df.withColumn("_cell", _nearest_centroid_col(vec_col, centroids))
+    if cell_col is None:
+        df = add_ivf_cells(df, centroids, vec_col)
+        cell_col = "_cell"
     return brute_force_topk(
-        cells.where(F.col("_cell").isin(probes)), query, k, id_col, vec_col
+        df.where(F.col(cell_col).isin(probes)), query, k, id_col, vec_col
     )

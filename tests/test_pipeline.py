@@ -223,3 +223,90 @@ def test_ivf_topk_matches_brute_force_top1(spark, vectors):
     assert approx[0]["vec_id"] == exact_top[0]["vec_id"] == 2
     # the planted near-duplicate lands in the same or a probed cell
     assert len(approx) >= 1
+
+
+def test_ivf_plan_size_flat_and_agreement_at_large_k(spark):
+    """Round-2 scale guard: centroid assignment is a broadcast pandas
+    UDF, so the Catalyst plan must stay O(1) in k × dim (the round-1
+    plan-literal encoding exploded ~linearly and died near k·dim≈10^6).
+    Agreement: a query that IS a stored vector must find itself (its
+    own cell is the nearest centroid, hence always probed)."""
+    from aduana_spark.pipeline.similarity import (
+        add_ivf_cells,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 256
+    mat = rng.randn(300, dim)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(300)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).persist()
+    plan_small = add_ivf_cells(df, rng.randn(4, dim))._jdf.queryExecution().toString()
+    plan_big = add_ivf_cells(df, rng.randn(256, dim))._jdf.queryExecution().toString()
+    assert len(plan_big) < 2 * len(plan_small) + 1000, (
+        f"plan grew with k: {len(plan_small)} -> {len(plan_big)}"
+    )
+    cents = kmeans_centroids(df, k=256, iters=2, seed=1)
+    assert cents.shape == (256, dim)
+    got = ivf_topk(df, mat[17].tolist(), k=1, centroids=cents, n_probe=4).collect()
+    assert got[0]["vec_id"] == 17 and got[0]["cosine"] == pytest.approx(1.0)
+    # persisted-cell path: precomputed cell column gives the same answer
+    cached = add_ivf_cells(df, cents).persist()
+    got2 = ivf_topk(
+        cached, mat[17].tolist(), k=1, centroids=cents, n_probe=4, cell_col="_cell"
+    ).collect()
+    assert got2[0]["vec_id"] == 17
+    cached.unpersist()
+
+
+def test_lsh_bucket_column_reuse(spark, vectors):
+    """add_lsh_buckets + bucket_col gives the same result as the
+    per-query signature path (scale path: signatures persisted with
+    the table, one pandas-UDF scan total)."""
+    from aduana_spark.pipeline.similarity import add_lsh_buckets
+
+    q = vectors.where(F.col("vec_id") == 5).first()["embedding"]
+    fresh = lsh_topk(vectors, q, k=2, n_planes=6).collect()
+    pre = add_lsh_buckets(vectors, n_planes=6).persist()
+    reused = lsh_topk(pre, q, k=2, n_planes=6, bucket_col="_bucket").collect()
+    assert [r["vec_id"] for r in fresh] == [r["vec_id"] for r in reused]
+    pre.unpersist()
+
+
+def test_lsh_plan_size_flat_in_planes_and_dim(spark):
+    from aduana_spark.pipeline.similarity import add_lsh_buckets
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, rng.randn(128).tolist()) for i in range(50)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    p_small = add_lsh_buckets(df, n_planes=4)._jdf.queryExecution().toString()
+    p_big = add_lsh_buckets(df, n_planes=24)._jdf.queryExecution().toString()
+    assert len(p_big) < 2 * len(p_small) + 1000
+
+
+def test_minhash_bucket_cap_guards_boilerplate(spark):
+    """A degenerate bucket (hundreds of identical boilerplate docs)
+    is dropped from candidate generation (sub-quadratic guard) while
+    pairs in small buckets are still found; with the cap disabled the
+    boilerplate pairs come back (recall is a knob, never silent)."""
+    boiler = "all rights reserved cookie notice privacy policy terms of service apply"
+    rows = [(i, boiler) for i in range(120)]
+    rows += [(1000, BASE), (1001, BASE.replace("quick", "rapid"))]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            df, num_perm=32, bands=8, shingle_k=3, threshold=0.3, max_bucket_size=50
+        ).collect()
+    }
+    assert (1000, 1001) in capped
+    assert all(a >= 1000 for a, b in capped), "boilerplate bucket must be dropped"
+    uncapped = minhash_lsh_candidates(
+        df, num_perm=32, bands=8, shingle_k=3, threshold=0.3, max_bucket_size=None
+    ).count()
+    assert uncapped == 120 * 119 // 2 + 1
