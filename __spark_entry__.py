@@ -466,6 +466,47 @@ def _q_label_propagation(spark, sf_dir):
     return res.ranks.orderBy("id")
 
 
+def _q_bfs_depths(spark, sf_dir):
+    # §2.10 BFS depth/provenance on the symmetrized nation↔hub star
+    # from nation 0: depth 1 = its hub, depth 2 = its region's other
+    # nations, other regions unreachable — closed form in SQL.
+    from aduana_spark.graph.bfs import bfs_depths
+    from aduana_spark.graph.components import symmetrize
+
+    e = symmetrize(_nation_star_edges(spark, sf_dir))
+    seeds = spark.createDataFrame([(0,)], "id LONG")
+    return bfs_depths(e, seeds).orderBy("id")
+
+
+def _q_embedding_topk_ivf(spark, sf_dir):
+    # pipeline.similarity IVF path, probing ALL cells (n_probe =
+    # n_cells) so the result is exactly brute force regardless of the
+    # quantizer — the driver gate covers the assignment UDF + cell
+    # filter + rerank plumbing end-to-end.
+    from aduana_spark.pipeline.similarity import ivf_topk, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    cents = kmeans_centroids(emb, k=8, iters=2, seed=7)
+    out = ivf_topk(emb, list(q), k=10, centroids=cents, n_probe=8)
+    return out.select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    ).orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+
+
+def _q_triangle_per_vertex(spark, sf_dir):
+    # north-rule per-vertex triangle counts (networkx.triangles
+    # semantics: each triangle counted once per member vertex)
+    from aduana_spark.graph.triangles import triangle_count
+
+    return triangle_count(_mod_graph_edges(spark, sf_dir), per_vertex=True).orderBy(
+        "id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "out_degree": _q_out_degree,
@@ -496,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": _q_minhash_candidates,
         "simhash_near_dups": _q_simhash_near_dups,
         "label_propagation": _q_label_propagation,
+        "bfs_depths": _q_bfs_depths,
+        "embedding_topk_ivf": _q_embedding_topk_ivf,
+        "triangle_per_vertex": _q_triangle_per_vertex,
     }
 
 
@@ -661,9 +705,12 @@ def oracle_sql() -> dict[str, str]:
                       JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
         """,
         "embedding_topk": """
+            -- CAST to DOUBLE[]: DuckDB's cosine on FLOAT[] returns
+            -- float32 values that diverge from Spark's double math
             SELECT vec_id,
-                   ROUND(list_cosine_similarity(embedding,
-                     (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4)
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = 0)), 4)
                    AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
@@ -758,5 +805,49 @@ def oracle_sql() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             ) WHERE j >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "bfs_depths": """
+            -- closed-form BFS from nation 0 on the symmetrized star:
+            -- depth 1 = nation 0's region hub, depth 2 = that region's
+            -- other nations; other regions unreachable
+            WITH r0 AS (
+              SELECT n_regionkey AS r FROM nation WHERE n_nationkey = 0
+            )
+            SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS INT) AS depth
+            UNION ALL
+            SELECT CAST(r + 100 AS BIGINT), CAST(1 AS INT) FROM r0
+            UNION ALL
+            SELECT CAST(n_nationkey AS BIGINT), CAST(2 AS INT)
+            FROM nation, r0 WHERE n_regionkey = r0.r AND n_nationkey <> 0
+            ORDER BY id
+        """,
+        "embedding_topk_ivf": """
+            -- probe-all IVF ≡ exact brute force: same oracle as the
+            -- brute-force query
+            -- CAST to DOUBLE[]: DuckDB's cosine on FLOAT[] returns
+            -- float32 values that diverge from Spark's double math
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = 0)), 4)
+                   AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "triangle_per_vertex": """
+            WITH e AS (
+              SELECT DISTINCT LEAST(l_partkey % 50, l_suppkey % 50) AS a,
+                     GREATEST(l_partkey % 50, l_suppkey % 50) AS b
+              FROM lineitem WHERE (l_partkey % 50) <> (l_suppkey % 50)
+            ), t AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1 JOIN e e2 ON e1.b = e2.a
+                        JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+            )
+            SELECT CAST(id AS BIGINT) AS id, COUNT(*) AS n_triangles FROM (
+              SELECT x AS id FROM t
+              UNION ALL SELECT y FROM t
+              UNION ALL SELECT z FROM t
+            ) GROUP BY id ORDER BY id
         """,
     }

@@ -19,9 +19,12 @@ host); efficiency = (throughput@4N / throughput@N) / 4.
 
 Edge table: deduplicated union of the star-schema's natural digraphs
 (customer→order, order→part, part→supplier) — Zipf-ish part reuse
-gives realistic in-degree skew. The scaling run inflates it ×16 with
-salted copies so the job is compute-bound rather than
-overhead-bound at both parallelism levels.
+gives realistic in-degree skew. The scaling run inflates it ×64
+(~86M edges at sf0.1, SPARK_GRAFT_SCALING_COPIES) with salted copies
+so supersteps are long enough to average over host-steal bursts, and
+brackets every cycle with single-core steal probes (see run_scaling)
+plus a forked-worker measurement of the host's sustained-compute
+ceiling.
 
 Set SPARK_GRAFT_SKIP_SCALING=1 to skip the two-level run (fast mode).
 """
@@ -90,9 +93,12 @@ def scaling_edges(spark, copies: int = 16) -> DataFrame:
     parallelism levels)."""
     e = bench_edges(spark)
     k = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("k")
+    # cast before multiplying: k is INT and 64 × 1e8 overflows 32-bit
+    # under ANSI mode
+    off = F.col("k").cast("long") * F.lit(100_000_000).cast("long")
     return e.select("src", "dst", k).select(
-        (F.col("src") + F.col("k") * 100_000_000).alias("src"),
-        (F.col("dst") + F.col("k") * 100_000_000).alias("dst"),
+        (F.col("src") + off).alias("src"),
+        (F.col("dst") + off).alias("dst"),
     )
 
 
@@ -171,54 +177,151 @@ def run_headline(spark) -> dict[str, float]:
     return q
 
 
-def run_scaling(core_levels=(2, 8, 32), supersteps: int = 6, repeats: int | None = None) -> dict:
-    """Identical PageRank job at multiple parallelism levels.
+def _probe_once(mb: int = 24) -> float:
+    """Single-threaded CPU-steal probe: seconds to SHA-256 a fixed
+    buffer (pure C loop, no BLAS thread pools, deterministic work).
+    On a quiet host this is constant to a few %; host CPU steal shows
+    up directly as a longer wall."""
+    import hashlib
 
-    Per BASELINE.md, scaling efficiency between N and 4N is evidenced
-    by core-count pairs on this host: (2 → 8) and (8 → 32). This
-    sandbox is a VM with heavy intermittent host CPU steal (a pure
-    numpy matmul probe varies 10× run to run), so the estimator must
-    be steal-robust: cycles over the levels are **interleaved in
-    time** (repeats) and the per-superstep wall is the **minimum**
-    over all steady-state supersteps of all cycles — every superstep
-    processes the same edge set, so the minimum is the machine's true
-    cost and the rest is host interference.
+    buf = b"\x5a" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(mb):
+        h.update(buf)
+    return time.perf_counter() - t0
+
+
+def steal_probe(rounds: int = 3) -> float:
+    """min over a few probe rounds (the min is the machine's true
+    single-core cost; anything above it is interference)."""
+    return min(_probe_once() for _ in range(rounds))
+
+
+def _parallel_probe_worker(mb: int) -> float:
+    return _probe_once(mb)
+
+
+def host_effective_cores(levels=(1, 8, 32), mb: int = 192) -> dict:
+    """Measure how many cores' worth of sustained compute the host
+    actually provides: N forked workers each do fixed single-threaded
+    work; aggregate throughput / single-worker throughput = effective
+    cores at N. On a dedicated 32-core host this reads ≈N; a
+    burst-quota VM plateaus at the quota. This is the environmental
+    ceiling that bounds ANY job's measurable wall-clock scaling here,
+    independent of Spark."""
+    import multiprocessing as mp
+
+    out = {}
+    ctx = mp.get_context("fork")
+    for n in levels:
+        # walls measured INSIDE each worker (fork/Pool startup excluded);
+        # identical work keeps the workers overlapped, so Σ(work/wall_i)
+        # is the aggregate sustained throughput at concurrency n
+        with ctx.Pool(n) as pool:
+            walls = pool.map(_parallel_probe_worker, [mb] * n)
+        out[f"throughput_{n}"] = round(sum(mb / w for w in walls), 1)
+    base = out["throughput_1"]
+    for n in levels:
+        out[f"effective_cores_{n}"] = round(out[f"throughput_{n}"] / base, 2)
+    return out
+
+
+def run_scaling(
+    core_levels=(8, 32), supersteps: int = 5, repeats: int | None = None
+) -> dict:
+    """Identical PageRank job at multiple parallelism levels — the
+    sandbox protocol for the north rule's two-cluster-size criterion
+    (BASELINE.md): same deterministic edge table, FIXED shuffle layout,
+    only worker-thread count varies (as when adding executors under a
+    fixed layout).
+
+    Steal-robust estimator (this VM has heavy intermittent host CPU
+    steal): every cycle is bracketed by single-core steal probes;
+    cycles whose probes exceed 1.3× the best observed probe are marked
+    contaminated and excluded from the per-level minimum (they remain
+    in the JSON). The per-superstep wall is the min over steady-state
+    supersteps of clean cycles — every superstep does identical work,
+    so the min is the machine's true cost. ``host_effective_cores``
+    additionally measures the host's sustained-compute ceiling, and
+    ``efficiency_vs_host_ceiling`` normalizes the measured speedup by
+    the speedup the host itself can express — the plan-quality number
+    when the environment caps raw wall-clock scaling.
     """
     from aduana_spark.graph.pagerank import pagerank
 
     repeats = repeats or int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-    # identical partitioning (→ identical physical plan and task set) at
-    # every level; only the number of worker threads varies — the same
-    # way a cluster scales by adding executors under a fixed layout
+    copies = int(os.environ.get("SPARK_GRAFT_SCALING_COPIES", "64"))
     fixed_partitions = 2 * max(core_levels)
-    out = {"shuffle_partitions": fixed_partitions, "repeats": repeats}
-    walls_by_level: dict[int, list[float]] = {c: [] for c in core_levels}
+    out: dict = {
+        "shuffle_partitions": fixed_partitions,
+        "repeats": repeats,
+        "inflation_copies": copies,
+    }
+    out["host_probe_start"] = host_effective_cores(levels=(1,) + tuple(core_levels))
+    cycles: list[dict] = []
     n_edges = None
-    for _cycle in range(repeats):
+    for cycle_i in range(repeats):
         for cores in core_levels:
+            probe_before = steal_probe()
             spark = _session(cores, shuffle_partitions=fixed_partitions)
             try:
-                edges = scaling_edges(spark)
+                edges = scaling_edges(spark, copies=copies)
                 res = pagerank(edges, precision=1e-6, max_iters=supersteps)
                 n_edges = res.n_edges
-                walls_by_level[cores] += [m.wall_sec for m in res.metrics][1:]
+                walls = [m.wall_sec for m in res.metrics][1:]  # steady state
             finally:
                 spark.stop()
+            probe_after = steal_probe()
+            cycles.append(
+                {
+                    "cycle": cycle_i,
+                    "cores": cores,
+                    "probe_before_sec": round(probe_before, 4),
+                    "probe_after_sec": round(probe_after, 4),
+                    "walls_sec": [round(w, 2) for w in walls],
+                }
+            )
+    best_probe = min(min(c["probe_before_sec"], c["probe_after_sec"]) for c in cycles)
+    for c in cycles:
+        c["contaminated"] = (
+            max(c["probe_before_sec"], c["probe_after_sec"]) > 1.3 * best_probe
+        )
+    out["best_probe_sec"] = best_probe
+    out["cycles"] = cycles
     for cores in core_levels:
-        walls = walls_by_level[cores]
+        mine = [c for c in cycles if c["cores"] == cores]
+        clean = [c for c in mine if not c["contaminated"]]
+        used = clean if clean else mine
+        walls = [w for c in used for w in c["walls_sec"]]
         best = min(walls)
         out[f"n{cores}"] = {
             "edges": n_edges,
-            "steady_supersteps": len(walls),
-            "walls_sec": [round(w, 2) for w in walls],
+            "clean_cycles": len(clean),
+            "no_clean_cycle": not clean,
             "min_sec_per_superstep": round(best, 3),
             "edges_per_sec": n_edges / best,
         }
+    out["host_probe_end"] = host_effective_cores(levels=(1,) + tuple(core_levels))
     for n, n4 in zip(core_levels, core_levels[1:]):
-        if f"n{n}" in out and f"n{n4}" in out:
-            out[f"efficiency_{n}_to_{n4}"] = (
-                out[f"n{n4}"]["edges_per_sec"] / out[f"n{n}"]["edges_per_sec"]
-            ) / (n4 / n)
+        speedup = out[f"n{n4}"]["edges_per_sec"] / out[f"n{n}"]["edges_per_sec"]
+        out[f"efficiency_{n}_to_{n4}"] = round(speedup / (n4 / n), 3)
+        # host ceiling: the speedup the host itself expresses between the
+        # two concurrency levels; of the start/end measurements take the
+        # MORE generous one (higher ceiling → lower normalized efficiency,
+        # i.e. conservative toward the engine)
+        host_speedups = []
+        for hp in (out["host_probe_start"], out["host_probe_end"]):
+            if f"effective_cores_{n}" in hp and f"effective_cores_{n4}" in hp:
+                host_speedups.append(
+                    hp[f"effective_cores_{n4}"] / hp[f"effective_cores_{n}"]
+                )
+        if host_speedups:
+            ceiling = max(host_speedups)
+            out[f"host_ceiling_speedup_{n}_to_{n4}"] = round(ceiling, 3)
+            out[f"efficiency_vs_host_ceiling_{n}_to_{n4}"] = round(
+                speedup / ceiling, 3
+            )
     return out
 
 
@@ -233,9 +336,7 @@ def main() -> None:
 
     scaling = None
     if not SKIP_SCALING:
-        # driver-budget-friendly default: the (N=8 → 4N=32) pair; the
-        # full 3-level protocol (2/8/32) is run_scaling's default and
-        # recorded in BENCH.md
+        # the (N=8 → 4N=32) pair; BENCH.md records the full protocol
         scaling = run_scaling(core_levels=(8, 32), supersteps=5)
 
     pr = globals().get("_PR_RESULT")
