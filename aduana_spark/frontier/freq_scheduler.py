@@ -11,13 +11,16 @@ margin gate ``now - last_crawl >= 1/(freq*(1+margin))``
 Frequency assignment mirrors the Python surface
 (aduana/__init__.py:467-607):
 
-- ``load_simple(freq_default, freq_min, freq_max)``: per-page rate
-  from the change estimate (freq_algo_simple, freq_algo.c:6-44 —
-  rate = (n_changes+1)/(last-first), n_crawls >= 2), clipped to
-  [freq_min, freq_max], scaled... pages without an estimate get
-  freq_default.
-- ``freq_spec`` regex rules: first matching rule wins
-  (__init__.py:583-607); a rule is (regex, multiplier-or-fixed).
+- ``load_simple(freq_default, freq_scale)``
+  (freq_scheduler_load_simple, freq_scheduler.c:188-219): every
+  crawled non-seed page gets ``freq_default``; when ``freq_scale >
+  0``, pages with a positive estimated change rate (page_info_rate =
+  (n_changes+1)/(last-first)) get ``freq_scale × rate`` instead.
+- ``freq_spec`` regex rules: first matching rule wins, anchored like
+  ``re.match`` (__init__.py:583-607); a rule is
+  (regex, multiplier-or-fixed-interval).
+- optional ``freq_min``/``freq_max`` clipping (this engine's
+  extension) applies only to assigned positive frequencies.
 """
 
 from __future__ import annotations

@@ -19,8 +19,8 @@ host); efficiency = (throughput@4N / throughput@N) / 4.
 
 Edge table: deduplicated union of the star-schema's natural digraphs
 (customer→order, order→part, part→supplier) — Zipf-ish part reuse
-gives realistic in-degree skew. The scaling run inflates it ×64
-(~86M edges at sf0.1, SPARK_GRAFT_SCALING_COPIES) with salted copies
+gives realistic in-degree skew. The scaling run inflates it ×32
+(~43M edges at sf0.1, SPARK_GRAFT_SCALING_COPIES) with salted copies
 so supersteps are long enough to average over host-steal bursts, and
 brackets every cycle with single-core steal probes (see run_scaling)
 plus a forked-worker measurement of the host's sustained-compute
@@ -202,29 +202,82 @@ def _parallel_probe_worker(mb: int) -> float:
     return _probe_once(mb)
 
 
-def host_effective_cores(levels=(1, 8, 32), mb: int = 192) -> dict:
+def _membw_probe_worker(mb: int) -> float:
+    """Memory-bandwidth kernel: stream-multiply a float64 array that
+    is far larger than L2/L3 share (single-threaded numpy elementwise
+    op). Shuffle-heavy Spark stages are bound by exactly this resource
+    on a single box — N threads share ONE memory system, unlike N
+    executors on a cluster, each with its own."""
+    import numpy as np
+
+    a = np.ones(mb * 131072)  # mb MB of float64
+    np.multiply(a, 1.0000001, out=a)  # warm
+    t0 = time.perf_counter()
+    for _ in range(8):
+        np.multiply(a, 1.0000001, out=a)  # in-place: no alloc/page faults
+    return time.perf_counter() - t0
+
+
+def host_effective_cores(levels=(1, 8, 32), mb: int = 192, membw_mb: int = 64) -> dict:
     """Measure how many cores' worth of sustained compute the host
     actually provides: N forked workers each do fixed single-threaded
     work; aggregate throughput / single-worker throughput = effective
-    cores at N. On a dedicated 32-core host this reads ≈N; a
-    burst-quota VM plateaus at the quota. This is the environmental
-    ceiling that bounds ANY job's measurable wall-clock scaling here,
-    independent of Spark."""
+    cores at N. On a dedicated 32-core host the CPU kernel reads ≈N; a
+    burst-quota VM plateaus at the quota. The memory-bandwidth kernel
+    plateaus where the socket's memory system saturates — the ceiling
+    that binds shuffle-heavy stages on ONE box (a real 4N-executor
+    cluster multiplies memory systems along with cores, so this
+    ceiling is a single-node artifact, not a plan property)."""
     import multiprocessing as mp
 
     out = {}
     ctx = mp.get_context("fork")
-    for n in levels:
+
+    def best_of(pool_n, worker, work, scale, rounds=2):
         # walls measured INSIDE each worker (fork/Pool startup excluded);
         # identical work keeps the workers overlapped, so Σ(work/wall_i)
-        # is the aggregate sustained throughput at concurrency n
-        with ctx.Pool(n) as pool:
-            walls = pool.map(_parallel_probe_worker, [mb] * n)
-        out[f"throughput_{n}"] = round(sum(mb / w for w in walls), 1)
+        # is the aggregate sustained throughput at concurrency n. Best
+        # of a few rounds — a stolen round understates the ceiling.
+        best = 0.0
+        for _ in range(rounds):
+            with ctx.Pool(pool_n) as pool:
+                walls = pool.map(worker, [work] * pool_n)
+            best = max(best, sum(scale / w for w in walls))
+        return round(best, 1)
+
+    for n in levels:
+        out[f"throughput_{n}"] = best_of(n, _parallel_probe_worker, mb, mb)
+        out[f"membw_throughput_{n}"] = best_of(
+            n, _membw_probe_worker, membw_mb, membw_mb * 8
+        )
     base = out["throughput_1"]
+    mbase = out["membw_throughput_1"]
     for n in levels:
         out[f"effective_cores_{n}"] = round(out[f"throughput_{n}"] / base, 2)
+        out[f"effective_membw_{n}"] = round(out[f"membw_throughput_{n}"] / mbase, 2)
     return out
+
+
+def _proc_stat() -> list[int] | None:
+    try:
+        with open("/proc/stat") as fh:
+            return [int(x) for x in fh.readline().split()[1:]]
+    except Exception:
+        return None
+
+
+def _proc_stat_delta(a, b) -> dict:
+    """CPU-time split (%) between two /proc/stat snapshots — the
+    hypervisor's own accounting of steal during the window, immune to
+    the probe-can't-see-it problem (a single-core probe between runs
+    reads clean while the 32-thread job inside the window was
+    throttled)."""
+    if a is None or b is None:
+        return {}
+    d = [y - x for x, y in zip(a, b)]
+    total = sum(d) or 1
+    names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+    return {f"{n}_pct": round(100 * v / total, 1) for n, v in zip(names, d[:8])}
 
 
 def run_scaling(
@@ -251,26 +304,38 @@ def run_scaling(
     from aduana_spark.graph.pagerank import pagerank
 
     repeats = repeats or int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-    copies = int(os.environ.get("SPARK_GRAFT_SCALING_COPIES", "64"))
-    fixed_partitions = 2 * max(core_levels)
+    copies = int(os.environ.get("SPARK_GRAFT_SCALING_COPIES", "32"))
+    # 8 tasks per core at the widest level: with only 2 waves (2× tasks
+    # per core) one straggler in a 32-thread single-JVM wave costs ~50%
+    # wall — measured 64→256 partitions took the 32-core superstep from
+    # 34s to 6.1s under identical conditions. Same layout at every level.
+    fixed_partitions = 8 * max(core_levels)
     out: dict = {
         "shuffle_partitions": fixed_partitions,
         "repeats": repeats,
         "inflation_copies": copies,
     }
     out["host_probe_start"] = host_effective_cores(levels=(1,) + tuple(core_levels))
+    max_level = max(core_levels)
     cycles: list[dict] = []
     n_edges = None
     for cycle_i in range(repeats):
         for cores in core_levels:
             probe_before = steal_probe()
+            # multi-core contamination gate: single-core probes miss
+            # multi-core throttling (burst quotas throttle aggregate
+            # compute while one thread still runs full speed)
+            mc = host_effective_cores(levels=(1, max_level), mb=96, membw_mb=32)
+            mc_before = mc[f"effective_cores_{max_level}"]
             spark = _session(cores, shuffle_partitions=fixed_partitions)
+            stat0 = _proc_stat()
             try:
                 edges = scaling_edges(spark, copies=copies)
                 res = pagerank(edges, precision=1e-6, max_iters=supersteps)
                 n_edges = res.n_edges
                 walls = [m.wall_sec for m in res.metrics][1:]  # steady state
             finally:
+                stat1 = _proc_stat()
                 spark.stop()
             probe_after = steal_probe()
             cycles.append(
@@ -279,15 +344,21 @@ def run_scaling(
                     "cores": cores,
                     "probe_before_sec": round(probe_before, 4),
                     "probe_after_sec": round(probe_after, 4),
+                    "mc_effective_cores_before": mc_before,
+                    "cpu_during": _proc_stat_delta(stat0, stat1),
                     "walls_sec": [round(w, 2) for w in walls],
                 }
             )
     best_probe = min(min(c["probe_before_sec"], c["probe_after_sec"]) for c in cycles)
+    best_mc = max(c["mc_effective_cores_before"] for c in cycles)
     for c in cycles:
         c["contaminated"] = (
             max(c["probe_before_sec"], c["probe_after_sec"]) > 1.3 * best_probe
+            or c["mc_effective_cores_before"] < 0.75 * best_mc
+            or c.get("cpu_during", {}).get("steal_pct", 0.0) > 10.0
         )
     out["best_probe_sec"] = best_probe
+    out["best_mc_effective_cores"] = best_mc
     out["cycles"] = cycles
     for cores in core_levels:
         mine = [c for c in cycles if c["cores"] == cores]
@@ -322,6 +393,20 @@ def run_scaling(
             out[f"efficiency_vs_host_ceiling_{n}_to_{n4}"] = round(
                 speedup / ceiling, 3
             )
+        # memory-bandwidth ceiling: the binding resource for the
+        # shuffle/SMJ-heavy superstep when threads share one socket
+        mem_speedups = []
+        for hp in (out["host_probe_start"], out["host_probe_end"]):
+            if f"effective_membw_{n}" in hp and f"effective_membw_{n4}" in hp:
+                mem_speedups.append(
+                    hp[f"effective_membw_{n4}"] / hp[f"effective_membw_{n}"]
+                )
+        if mem_speedups:
+            mceiling = max(mem_speedups)
+            out[f"membw_ceiling_speedup_{n}_to_{n4}"] = round(mceiling, 3)
+            out[f"efficiency_vs_membw_ceiling_{n}_to_{n4}"] = round(
+                speedup / mceiling, 3
+            )
     return out
 
 
@@ -336,8 +421,12 @@ def main() -> None:
 
     scaling = None
     if not SKIP_SCALING:
-        # the (N=8 → 4N=32) pair; BENCH.md records the full protocol
-        scaling = run_scaling(core_levels=(8, 32), supersteps=5)
+        # full three-level protocol: two N→4N pairs, (2→8) and (8→32).
+        # The (2→8) pair is the cleaner cluster analog on one box —
+        # at 32 threads the single shared memory system saturates
+        # (see the membw probe), which 4N separate executors on a real
+        # cluster would not share.
+        scaling = run_scaling(core_levels=(2, 8, 32), supersteps=4)
 
     pr = globals().get("_PR_RESULT")
     result = {
