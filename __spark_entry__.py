@@ -507,6 +507,18 @@ def _q_triangle_per_vertex(spark, sf_dir):
     )
 
 
+def _q_contamination(spark, sf_dir):
+    # pipeline.decontaminate: benchmark-overlap decontamination. The
+    # "benchmark" is a deterministic slice of the corpus (every 97th
+    # doc), so the planted near-dups of benchmark docs read as
+    # contaminated and everything else scores near zero.
+    from aduana_spark.pipeline.decontaminate import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0).select("text")
+    return ngram_contamination(d, bench, n=8).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "out_degree": _q_out_degree,
@@ -540,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_depths": _q_bfs_depths,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "triangle_per_vertex": _q_triangle_per_vertex,
+        "contamination": _q_contamination,
     }
 
 
@@ -849,5 +862,35 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT y FROM t
               UNION ALL SELECT z FROM t
             ) GROUP BY id ORDER BY id
+        """,
+        "contamination": """
+            -- benchmark decontamination: fraction of each document's
+            -- distinct 8-grams appearing in the benchmark slice
+            -- (doc_id % 97 == 0)
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 8, 0) + 2),
+                       i -> array_to_string(toks[i:i+7], ' '))) AS s
+              FROM (
+                SELECT doc_id, string_split_regex(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                         ' ') AS toks
+                FROM documents
+              )
+            ), g AS (
+              SELECT doc_id, UNNEST(s) AS gram FROM sh
+            ), bg AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT g.doc_id, COUNT(*) AS hits
+              FROM g JOIN bg USING (gram) GROUP BY g.doc_id
+            )
+            SELECT sh.doc_id,
+                   CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits,
+                   CAST(len(sh.s) AS INT) AS total,
+                   ROUND(COALESCE(hits.hits, 0) * 1.0 / len(sh.s), 6)
+                   AS contamination
+            FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id
+            ORDER BY sh.doc_id
         """,
     }

@@ -2,6 +2,10 @@
 analysis, multimodal plumbing. These extend the engine beyond the
 reference's own surface for 100 TB-scale corpus curation."""
 
+from aduana_spark.pipeline.decontaminate import (  # noqa: F401
+    decontaminate,
+    ngram_contamination,
+)
 from aduana_spark.pipeline.dedup import (  # noqa: F401
     embedding_near_duplicates,
     exact_duplicates,

@@ -310,3 +310,39 @@ def test_minhash_bucket_cap_guards_boilerplate(spark):
         df, num_perm=32, bands=8, shingle_k=3, threshold=0.3, max_bucket_size=None
     ).count()
     assert uncapped == 120 * 119 // 2 + 1
+
+
+def test_ngram_contamination_and_filter(spark, docs):
+    """Planted contamination: doc 0's text IS the benchmark → docs
+    0/1 fully contaminated, the near-dup (2) heavily, unrelated docs
+    (4, 5) at zero; decontaminate() keeps only the clean ones."""
+    from aduana_spark.pipeline.decontaminate import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    bench = docs.where(F.col("doc_id") == 0).select("text")
+    scores = {
+        r["doc_id"]: r
+        for r in ngram_contamination(docs, bench, n=3).collect()
+    }
+    assert scores[0]["contamination"] == pytest.approx(1.0)
+    assert scores[1]["contamination"] == pytest.approx(1.0)  # exact dup
+    assert scores[2]["contamination"] > 0.7  # near dup
+    assert scores[4]["contamination"] == 0.0
+    assert scores[5]["contamination"] == 0.0
+    assert scores[4]["total"] > 0 and scores[4]["hits"] == 0
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(docs, bench, n=3, max_contamination=0.1).collect()
+    }
+    assert 4 in kept and 5 in kept
+    assert 0 not in kept and 1 not in kept and 2 not in kept
+    # shuffle-join path (broadcast off) gives identical results
+    s2 = {
+        r["doc_id"]: r["contamination"]
+        for r in ngram_contamination(
+            docs, bench, n=3, broadcast_benchmark=False
+        ).collect()
+    }
+    assert s2 == {k: v["contamination"] for k, v in scores.items()}
