@@ -128,3 +128,61 @@ def streaming_domain_temperature(
         .groupBy(F.window("ts", window, slide or window), F.col("domain"))
         .agg(F.count("*").alias("temp"))
     )
+
+
+def stateful_domain_temperature(
+    crawl_stream: DataFrame,
+    window_sec: float = 60.0,
+) -> DataFrame:
+    """A8 as a **custom stateful streaming operator**
+    (``applyInPandasWithState``): the reference's incremental
+    DomainTemp recurrence (domain_temp.c:25-41) kept as per-key
+    streaming state instead of a fixed-size in-process table::
+
+        temp ← temp · max(0, 1 − Δ/window) + 1   at each crawl,
+
+    where Δ is the gap since the domain's previous crawl (the
+    reference decays against the table-wide last update; per-key state
+    uses the domain's own gap — identical when crawls are dense, and
+    the per-key form is the one that shards across executors). State
+    per domain is two scalars (temp, last_ts); arbitrarily many
+    domains shard by the group key, no fixed-size-table eviction
+    needed (domain_temp.c:44-53 evicts minima only because its table
+    is a fixed array).
+
+    Input: streaming (domain STRING, ts TIMESTAMP). Output stream:
+    (domain, temp, last_ts) — one updated row per domain per
+    micro-batch; pair with outputMode("update").
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "domain STRING, temp DOUBLE, last_ts DOUBLE"
+    state_schema = "temp DOUBLE, last_ts DOUBLE"
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            temp, last_ts = state.get
+        else:
+            temp, last_ts = 0.0, None
+        ts_all = []
+        for pdf in pdf_iter:
+            ts_all.extend(t.timestamp() for t in pdf["ts"])
+        for t in sorted(ts_all):  # event-time order within the batch
+            if last_ts is not None:
+                k = max(0.0, 1.0 - (t - last_ts) / window_sec)
+                temp = temp * k
+            temp += 1.0
+            last_ts = t
+        state.update((float(temp), float(last_ts)))
+        yield pd.DataFrame(
+            {"domain": [key[0]], "temp": [temp], "last_ts": [last_ts]}
+        )
+
+    return crawl_stream.groupBy("domain").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -130,3 +130,71 @@ def test_streaming_domain_temperature_windows(spark, tmp_path):
         for r in spark.sql("SELECT * FROM dt_windows").collect()
     }
     assert got == {("a.org", 0): 2, ("a.org", 1): 1, ("b.org", 0): 1}
+
+
+def test_stateful_streaming_domain_temperature(spark, tmp_path):
+    """applyInPandasWithState keeps the reference's decay recurrence
+    (temp ← temp·max(0,1−Δ/W)+1, domain_temp.c:25-41) as per-domain
+    state across micro-batches; the final temps equal a sequential
+    Python replay of the same recurrence."""
+    import json
+
+    from aduana_spark.streaming import stateful_domain_temperature
+
+    indir = tmp_path / "stateful_in"
+    indir.mkdir()
+    batches = [
+        [("a.org", "2026-01-01T00:00:00"), ("a.org", "2026-01-01T00:00:30"),
+         ("b.org", "2026-01-01T00:00:10")],
+        [("a.org", "2026-01-01T00:01:00"), ("b.org", "2026-01-01T00:02:10")],
+    ]
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for bi, rows in enumerate(batches):
+        path = indir / f"b{bi}.json"
+        with open(path, "w") as f:
+            for d, ts in rows:
+                f.write(json.dumps({"domain": d, "ts": ts}) + "\n")
+        # the file source orders batches by modification time — pin it
+        _os.utime(path, (now + 10 * bi, now + 10 * bi))
+    stream = (
+        spark.readStream.schema("domain STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)  # force ≥2 micro-batches
+        .json(str(indir))
+    )
+    out = stateful_domain_temperature(stream, window_sec=60.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dt_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM dt_state ORDER BY last_ts"
+    ).collect()
+    # keep the LAST update per domain (update mode emits one row per
+    # touched domain per micro-batch)
+    got = {}
+    for r in rows:
+        got[r["domain"]] = r["temp"]
+
+    # sequential replay of the recurrence
+    def replay(ts_list, W=60.0):
+        temp, last = 0.0, None
+        for t in ts_list:
+            if last is not None:
+                temp *= max(0.0, 1.0 - (t - last) / W)
+            temp += 1.0
+            last = t
+        return temp
+
+    t0 = dt.datetime(2026, 1, 1).timestamp()
+    # a.org crawls at +0, +30, +60; b.org at +10, +130 (gap > window)
+    assert got["a.org"] == pytest.approx(replay([t0, t0 + 30, t0 + 60]))
+    assert got["a.org"] == pytest.approx((1 * 0.5 + 1) * 0.5 + 1)  # 1.75
+    assert got["b.org"] == pytest.approx(1.0)  # fully decayed, reheated
