@@ -507,6 +507,21 @@ def _q_triangle_per_vertex(spark, sf_dir):
     )
 
 
+def _q_entity_density(spark, sf_dir):
+    # X11 (locations example, locations.py:18-58): gazetteer-term
+    # density scored by the triangle scorer
+    from aduana_spark.pipeline.textstats import entity_density_score
+
+    d = _t(spark, sf_dir, "documents")
+    out = entity_density_score(d, ["spark", "window", "cluster"], peak=0.005)
+    return out.select(
+        "doc_id",
+        "n_entities",
+        F.round("density", 6).alias("density"),
+        F.round("entity_score", 6).alias("entity_score"),
+    ).orderBy("doc_id")
+
+
 def _q_contamination(spark, sf_dir):
     # pipeline.decontaminate: benchmark-overlap decontamination. The
     # "benchmark" is a deterministic slice of the corpus (every 97th
@@ -553,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "triangle_per_vertex": _q_triangle_per_vertex,
         "contamination": _q_contamination,
+        "entity_density": _q_entity_density,
     }
 
 
@@ -892,5 +908,25 @@ def oracle_sql() -> dict[str, str]:
                    AS contamination
             FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id
             ORDER BY sh.doc_id
+        """,
+        "entity_density": """
+            -- X11 triangle scorer over gazetteer-term density:
+            -- peak 1.0 at density 0.005, linear falloff both sides
+            SELECT doc_id,
+                   CAST(n AS INT) AS n_entities,
+                   ROUND(d, 6) AS density,
+                   ROUND(CASE WHEN d <= 0.005 THEN 1.0 - (0.005 - d) / 0.005
+                         ELSE 1.0 - (d - 0.005) / 0.995 END, 6) AS entity_score
+            FROM (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '(?i)\\b(?:spark|window|cluster)\\b')) AS n,
+                     CASE WHEN length(text) > 0
+                          THEN len(regexp_extract_all(text,
+                               '(?i)\\b(?:spark|window|cluster)\\b'))
+                               * 1.0 / length(text)
+                          ELSE 0.0 END AS d
+              FROM documents
+            ) ORDER BY doc_id
         """,
     }

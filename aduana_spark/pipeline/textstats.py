@@ -110,6 +110,47 @@ def keyword_score_col(text: Column | str, keywords: list[str]) -> Column:
     return F.least(matches / F.lit(20.0), F.lit(1.0))
 
 
+def triangle_score_col(density: Column | str, peak: float) -> Column:
+    """X11 — the locations example's ``triangle(a)`` scorer
+    (examples/locations/locations/spiders/locations.py:18-26): score
+    peaks at 1.0 when the density equals ``peak`` and falls off
+    linearly to 0 at density 0 and density 1."""
+    x = _c(density)
+    return F.when(
+        x <= peak, F.lit(1.0) - (F.lit(peak) - x) / F.lit(peak)
+    ).otherwise(F.lit(1.0) - (x - F.lit(peak)) / F.lit(1.0 - peak))
+
+
+def entity_density_score(
+    df: DataFrame,
+    terms: list[str],
+    peak: float = 0.005,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The locations example's scoring pipeline (locations.py:33-58)
+    with the gazetteer as a term list: count word-bounded matches of
+    any term, divide by text length (entity density — the example's
+    ``Σ gid_count / len(text)``), and score with the triangle scorer.
+    The reference tags entities with a GeoNames gazetteer (external
+    data, not shipped); any term dictionary plugs in here — the
+    matching is one JVM-side regexp over the alternation, no Python.
+
+    Returns (id, n_entities, density, entity_score)."""
+    text = _c(text_col)
+    pat = rf"(?i)\b(?:{'|'.join(terms)})\b"
+    hits = F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+    density = F.when(
+        F.length(text) > 0, hits.cast("double") / F.length(text)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        hits.alias("n_entities"),
+        density.alias("density"),
+        triangle_score_col(density, peak).alias("entity_score"),
+    )
+
+
 def document_fingerprint(
     df: DataFrame, text_col: str = "text", shingle_k: int = 3
 ) -> DataFrame:

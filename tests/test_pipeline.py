@@ -346,3 +346,33 @@ def test_ngram_contamination_and_filter(spark, docs):
         ).collect()
     }
     assert s2 == {k: v["contamination"] for k, v in scores.items()}
+
+
+def test_triangle_entity_density_score(spark):
+    """X11 (locations example): triangle scorer peaks at the target
+    density and falls off linearly on both sides."""
+    from aduana_spark.pipeline.textstats import (
+        entity_density_score,
+        triangle_score_col,
+    )
+
+    # direct scorer shape: triangle(0.5) over known densities
+    df = spark.createDataFrame([(0.0,), (0.25,), (0.5,), (0.75,), (1.0,)], "d DOUBLE")
+    got = [r["s"] for r in df.select(triangle_score_col("d", 0.5).alias("s")).collect()]
+    assert got == pytest.approx([0.0, 0.5, 1.0, 0.5, 0.0])
+
+    # pipeline form: entity matches per character
+    docs = spark.createDataFrame(
+        [(0, "paris " * 10), (1, "x" * 1000 + " paris"), (2, "no entities here at all")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in entity_density_score(
+        docs, ["paris", "london"], peak=0.005
+    ).collect()}
+    assert rows[0]["n_entities"] == 10
+    assert rows[2]["n_entities"] == 0 and rows[2]["entity_score"] == pytest.approx(0.0)
+    # doc 1: density 1/1006 ≈ 0.000994 < peak → rising edge
+    assert 0.0 < rows[1]["entity_score"] < 1.0
+    assert rows[1]["entity_score"] == pytest.approx(
+        1.0 - (0.005 - 1 / 1006) / 0.005, rel=1e-6
+    )
