@@ -522,6 +522,16 @@ def _q_entity_density(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_language_id(spark, sf_dir):
+    # F9 (the full operator behind lang_rollup): stopword-argmax
+    # language id; tie-break = lexicographically greatest language,
+    # matching greatest(struct(hits, lang)) on the Spark side
+    from aduana_spark.pipeline.textstats import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return language_id(d).select("doc_id", "lang_pred").orderBy("doc_id")
+
+
 def _q_contamination(spark, sf_dir):
     # pipeline.decontaminate: benchmark-overlap decontamination. The
     # "benchmark" is a deterministic slice of the corpus (every 97th
@@ -569,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_per_vertex": _q_triangle_per_vertex,
         "contamination": _q_contamination,
         "entity_density": _q_entity_density,
+        "language_id": _q_language_id,
     }
 
 
@@ -929,4 +940,27 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) ORDER BY doc_id
         """,
+        "language_id": _language_id_oracle(),
     }
+
+
+def _language_id_oracle() -> str:
+    """Generated from the engine's own stopword lists so the oracle
+    and the operator can never drift: per-language word-bounded hit
+    counts, argmax via list_max over (hits, lang) structs — DuckDB's
+    struct ordering matches Spark's greatest(struct(hits, lang))
+    tie-break (lexicographically greatest language wins ties)."""
+    from aduana_spark.pipeline.textstats import _STOPWORDS
+
+    structs = ", ".join(
+        "{'hits': len(regexp_extract_all(lower(text), '\\b(?:%s)\\b')), "
+        "'lang': '%s'}" % ("|".join(words), lang)
+        for lang, words in _STOPWORDS.items()
+    )
+    return f"""
+        SELECT doc_id,
+               CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
+        FROM (
+          SELECT doc_id, list_max([{structs}]) AS b FROM documents
+        ) ORDER BY doc_id
+    """

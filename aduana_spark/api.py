@@ -100,14 +100,16 @@ class PageDB:
         scheduler sharing this PageDB ingests each batch exactly
         once."""
         new_info, new_sched = ingest_crawl_batch(self.page_info, batch)
-        self.page_info = new_info.persist()
-        self.page_info.count()
+        # localCheckpoint (not persist+count): each batch's plan embeds
+        # the previous state's plan, so without truncation Catalyst
+        # re-analyzes a deepening tree and per-batch cost grows
+        # super-linearly (~5s → 30s within 10 batches, measured)
+        self.page_info = new_info.localCheckpoint()
         new_edges = batch.select(
             F.col("url").alias("src_url"),
             F.explode("links").alias("l"),
         ).select("src_url", F.col("l.url").alias("dst_url"))
-        self.edges = self.edges.unionByName(new_edges).persist()
-        self.edges.count()
+        self.edges = self.edges.unionByName(new_edges).localCheckpoint()
         return new_sched
 
     def add(self, page: CrawledPage) -> None:
@@ -352,9 +354,8 @@ class BFScheduler(BFSchedulerView):
             self.schedule.drop("score")
             .join(new, "url", "left")
             .select("url", F.coalesce("score", F.lit(0.0)).alias("score"))
-            .persist()
+            .localCheckpoint()
         )
-        self.schedule.count()
 
 
 class Backend:

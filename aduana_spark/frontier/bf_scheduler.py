@@ -158,13 +158,16 @@ class BFSchedulerView:
             new_sched = self._page_db.add_batch(batch)
         else:
             new_info, new_sched = ingest_crawl_batch(self._own_page_info, batch)
-            self._own_page_info = new_info.persist()
-            self._own_page_info.count()
-        self.schedule = self.schedule.unionByName(new_sched.select("url", "score")).persist()
-        self.schedule.count()
+            # localCheckpoint truncates the per-batch lineage chain
+            # (see PageDB.add_batch) — persist alone caches rows but
+            # leaves the logical plan growing per batch
+            self._own_page_info = new_info.localCheckpoint()
+        self.schedule = self.schedule.unionByName(
+            new_sched.select("url", "score")
+        ).localCheckpoint()
         self.crawl_log = self.crawl_log.unionByName(
             batch.select(domain_col("url").alias("domain"), F.col("ts"))
-        ).persist()
+        ).localCheckpoint()
 
     def _escalation_limits(self) -> list[float | None]:
         """The reference's request loop: one pass at the soft limit,
@@ -213,8 +216,7 @@ class BFSchedulerView:
             got = [r["url"] for r in top.collect()]
             if got:
                 batch = self.spark.createDataFrame([(u,) for u in got], "url STRING")
-                self.served = self.served.unionByName(batch).persist()
-                self.served.count()
+                self.served = self.served.unionByName(batch).localCheckpoint()
                 urls += got
             if domain_rate is None:
                 break  # single unlimited pass

@@ -262,8 +262,7 @@ class FreqSchedulerView:
         from aduana_spark.frontier.page_info import ingest_crawl_batch
 
         new_info, _ = ingest_crawl_batch(self.page_info, batch)
-        self.page_info = new_info.persist()
-        self.page_info.count()
+        self.page_info = new_info.localCheckpoint()  # truncate lineage
 
     # ---- serving ---------------------------------------------------------
 
