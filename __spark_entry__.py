@@ -32,12 +32,23 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_aduana_pyfiles_added", False):
         return
+    import hashlib
     import os
     import shutil
 
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, repo) if repo not in sys.path else None
-    zip_base = "/tmp/aduana_spark_pkg"
+    # content-addressed zip: a stale cached archive from an earlier
+    # build would shadow the current package inside UDF workers
+    h = hashlib.sha256()
+    pkg = os.path.join(repo, "aduana_spark")
+    for dirpath, _dirs, files in sorted(os.walk(pkg)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                with open(os.path.join(dirpath, fn), "rb") as fh:
+                    h.update(fn.encode())
+                    h.update(fh.read())
+    zip_base = f"/tmp/aduana_spark_pkg_{h.hexdigest()[:16]}"
     if not os.path.exists(zip_base + ".zip"):
         shutil.make_archive(zip_base, "zip", root_dir=repo, base_dir="aduana_spark")
     sc.addPyFile(zip_base + ".zip")
