@@ -533,6 +533,23 @@ def _q_entity_density(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_quality_scores(spark, sf_dir):
+    # pipeline.textstats composite Gopher-flavored quality signals —
+    # gates the full operator, not just its sub-signals
+    from aduana_spark.pipeline.textstats import quality_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = quality_scores(d)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("quality_score", 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
 def _q_language_id(spark, sf_dir):
     # F9 (the full operator behind lang_rollup): stopword-argmax
     # language id; tie-break = lexicographically greatest language,
@@ -591,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "entity_density": _q_entity_density,
         "language_id": _q_language_id,
+        "quality_scores": _q_quality_scores,
     }
 
 
@@ -952,7 +970,46 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY doc_id
         """,
         "language_id": _language_id_oracle(),
+        "quality_scores": _quality_scores_oracle(),
     }
+
+
+def _quality_scores_oracle() -> str:
+    """Composite quality signals, stopword pattern generated from the
+    engine's own english list (like the language_id oracle)."""
+    from aduana_spark.pipeline.textstats import _STOPWORDS
+
+    sw = "|".join(_STOPWORDS["en"])
+    return f"""
+        SELECT doc_id,
+               n_tokens,
+               ROUND(punct_ratio, 6) AS punct_ratio,
+               ROUND(stopword_ratio, 6) AS stopword_ratio,
+               ROUND(mean_token_len, 6) AS mean_token_len,
+               ROUND((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+                           THEN 1.0 ELSE 0.0 END
+                      + CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.0 END
+                      + LEAST(stopword_ratio * 5.0, 1.0)) / 3.0, 6)
+               AS quality_score
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END
+                 AS n_tokens,
+                 CASE WHEN length(text) > 0 THEN
+                   len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+                 ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN length(trim(text)) > 0 THEN
+                   len(regexp_extract_all(lower(text), '\\b(?:{sw})\\b')) * 1.0
+                   / len(string_split_regex(trim(text), '\\s+'))
+                 ELSE 0.0 END AS stopword_ratio,
+                 CASE WHEN length(trim(text)) > 0 THEN
+                   len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                   / len(string_split_regex(trim(text), '\\s+'))
+                 ELSE 0.0 END AS mean_token_len
+          FROM documents
+        ) ORDER BY doc_id
+    """
 
 
 def _language_id_oracle() -> str:
