@@ -376,3 +376,28 @@ def test_triangle_entity_density_score(spark):
     assert rows[1]["entity_score"] == pytest.approx(
         1.0 - (0.005 - 1 / 1006) / 0.005, rel=1e-6
     )
+
+
+def test_ivf_partition_pruned_storage(spark, tmp_path, vectors):
+    """The 100 TB IVF path end-to-end: cells computed once, the table
+    written partitioned by cell, and a probe query prunes the scan to
+    its probe partitions (PartitionFilters in the parquet scan) while
+    returning the exact answer for a stored query vector."""
+    from aduana_spark.pipeline.similarity import (
+        add_ivf_cells,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(vectors, k=4, iters=2)
+    path = str(tmp_path / "ivf_table")
+    add_ivf_cells(vectors, cents).write.partitionBy("_cell").parquet(path)
+    table = spark.read.parquet(path)
+    q = vectors.where(F.col("vec_id") == 3).first()["embedding"]
+    got = ivf_topk(table, q, k=2, centroids=cents, n_probe=2, cell_col="_cell")
+    plan = got._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters", 1)[1][:200], (
+        "probe filter did not reach the scan's partition pruning"
+    )
+    rows = got.collect()
+    assert rows[0]["vec_id"] == 3 and rows[0]["cosine"] == pytest.approx(1.0)
