@@ -47,3 +47,32 @@ def test_depth_crawl_simulation(spark):
     assert set(crawled) == want
     # nothing is served twice (pop semantics)
     assert len(crawled) == len(set(crawled))
+
+
+def test_polite_crawl_through_backend(spark):
+    """Politeness through the full Backend path: after two rapid
+    crawls of hot.org, its remaining page is deferred behind the
+    cold domain at the soft limit and admitted by escalation —
+    bf_scheduler.c:679-819 behavior driven end-to-end (crawl events
+    share one timestamp, so both hot crawls sit fully inside the
+    decay window)."""
+    backend = Backend(spark)
+    backend.scheduler.set_crawl_rate(1.0, 4.0)
+    backend.add_seeds(["https://hub.org/"])
+    assert backend.get_next_requests(1) == ["https://hub.org/"]
+    backend.page_crawled(
+        "https://hub.org/",
+        [
+            ("https://hot.org/p0", 0.90),
+            ("https://hot.org/p1", 0.89),
+            ("https://hot.org/p2", 0.88),
+            ("https://cold.org/x", 0.10),
+        ],
+    )
+    # hot.org cold so far → its two best pages pop first
+    assert backend.get_next_requests(2) == ["https://hot.org/p0", "https://hot.org/p1"]
+    backend.page_crawled("https://hot.org/p0", [])
+    backend.page_crawled("https://hot.org/p1", [])
+    # hot.org temp = 2 > soft 1.0 → p2 deferred; cold.org admitted at
+    # the soft limit, p2 re-admitted on the escalation ladder (step 2)
+    assert backend.get_next_requests(2) == ["https://cold.org/x", "https://hot.org/p2"]
