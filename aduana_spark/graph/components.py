@@ -49,6 +49,7 @@ def connected_components(
     checkpoint: CheckpointManager | str | None = None,
     checkpoint_interval: int = 5,
     algorithm: str = "minprop",
+    resume: bool = False,
 ) -> IterativeResult:
     """Returns ranks DataFrame (id, component) — component = min id in
     the weakly connected component.
@@ -58,6 +59,10 @@ def connected_components(
     ``algorithm='two-phase'``: alternating large-star/small-star
     (Kiveris et al.), O(log²) rounds — the scale path for
     high-diameter graphs (see ``connected_components_two_phase``).
+    ``resume=True`` warm-starts from the latest checkpoint shard
+    (north-rule mid-iteration resume, like pagerank/hits): min-label
+    propagation is monotone — labels only decrease — so resuming from
+    any shard converges to the identical fixpoint.
     """
     if algorithm == "two-phase":
         return connected_components_two_phase(edges, max_iters=max_iters)
@@ -75,20 +80,29 @@ def connected_components(
     )
     n_edges = sym.count()
 
-    state = (
+    verts = (
         sym.select(F.col("src").alias("id"))
         .unionAll(sym.select(F.col("dst").alias("id")))
         .distinct()
-        .select("id", F.col("id").alias("component"))
-        .repartition(F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    start_iter = 0
+    if resume and ckpt is not None and ckpt.latest() is not None:
+        start_iter = ckpt.latest()
+        prev = ckpt.load(spark, start_iter).select("id", "component")
+        # vertices unseen by the shard (graph growth) start at their
+        # own id — monotone labels make the merge restart-safe
+        state = verts.join(prev, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    else:
+        state = verts.select("id", F.col("id").alias("component"))
+    state = state.repartition(F.col("id")).persist(StorageLevel.MEMORY_AND_DISK)
     n_vertices = state.count()
 
     metrics: list[SuperstepMetrics] = []
     converged = False
-    it = 0
-    for it in range(1, max_iters + 1):
+    it = start_iter
+    for it in range(start_iter + 1, start_iter + max_iters + 1):
         t0 = time.time()
         msgs = (
             sym.join(
@@ -127,7 +141,7 @@ def connected_components(
     return IterativeResult(
         ranks=state,
         converged=converged,
-        n_iterations=it,
+        n_iterations=it - start_iter,
         n_vertices=n_vertices,
         n_edges=n_edges,
         metrics=metrics,

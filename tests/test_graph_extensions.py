@@ -131,3 +131,27 @@ def test_two_phase_cc_random_graph(spark):
     res = connected_components_two_phase(_edges_df(spark, edges))
     got = {r["id"]: r["component"] for r in res.ranks.collect()}
     assert got == want
+
+
+def test_components_checkpoint_resume(spark, tmp_path):
+    """North-rule mid-iteration resume for connected components: kill
+    after 3 supersteps, resume from the shard, converge to the exact
+    labels — and in fewer supersteps than a cold run (monotone labels
+    make the warm start strictly ahead)."""
+    from aduana_spark.graph.components import connected_components
+
+    n = 16  # path graph: diameter n-1 forces many supersteps
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src LONG, dst LONG"
+    )
+    ck = str(tmp_path / "ck")
+    partial = connected_components(
+        df, max_iters=3, checkpoint=ck, checkpoint_interval=1
+    )
+    assert not partial.converged
+    resumed = connected_components(df, max_iters=50, checkpoint=ck, resume=True)
+    assert resumed.converged
+    got = {r["id"]: r["component"] for r in resumed.ranks.collect()}
+    assert got == {i: 0 for i in range(n)}
+    cold = connected_components(df, max_iters=50)
+    assert resumed.n_iterations < cold.n_iterations
