@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from aduana_spark.graph.checkpoint import CheckpointManager
 from aduana_spark.graph.components import symmetrize
 from aduana_spark.graph.pagerank import IterativeResult, SuperstepMetrics
 
@@ -29,8 +30,20 @@ def label_propagation(
     edges: DataFrame,
     max_iters: int = 10,
     directed: bool = False,
+    checkpoint: CheckpointManager | str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> IterativeResult:
-    """Returns ranks DataFrame (id, label)."""
+    """Returns ranks DataFrame (id, label). ``checkpoint``/``resume``:
+    per-superstep shards + mid-iteration warm start (synchronous LP is
+    a deterministic function of the previous label vector, so resuming
+    from shard K reproduces the uninterrupted trajectory exactly)."""
+    spark = edges.sparkSession
+    ckpt = (
+        CheckpointManager(checkpoint, "labelprop")
+        if isinstance(checkpoint, str)
+        else checkpoint
+    )
     sym = (
         (edges.select("src", "dst") if directed else symmetrize(edges))
         .repartition(F.col("src"))
@@ -39,19 +52,27 @@ def label_propagation(
     )
     n_edges = sym.count()
 
-    state = (
+    verts = (
         sym.select(F.col("src").alias("id"))
         .unionAll(sym.select(F.col("dst").alias("id")))
         .distinct()
-        .select("id", F.col("id").alias("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    start_iter = 0
+    if resume and ckpt is not None and ckpt.latest() is not None:
+        start_iter = ckpt.latest()
+        prev = ckpt.load(spark, start_iter).select("id", "label")
+        state = verts.join(prev, "id", "left").select(
+            "id", F.coalesce("label", F.col("id")).alias("label")
+        )
+    else:
+        state = verts.select("id", F.col("id").alias("label"))
+    state = state.persist(StorageLevel.MEMORY_AND_DISK)
     n_vertices = state.count()
 
     metrics: list[SuperstepMetrics] = []
     converged = False
-    it = 0
-    for it in range(1, max_iters + 1):
+    it = start_iter
+    for it in range(start_iter + 1, start_iter + max_iters + 1):
         t0 = time.time()
         counts = (
             sym.join(
@@ -79,13 +100,23 @@ def label_propagation(
             SuperstepMetrics(it, float(changed), wall, n_edges, n_edges / max(wall, 1e-9))
         )
         converged = changed == 0
+        if ckpt is not None and (
+            it % checkpoint_interval == 0
+            or converged
+            or it == start_iter + max_iters
+        ):
+            state = ckpt.save(
+                it,
+                state,
+                {"algo": "labelprop", "changed": changed, "wall_sec": wall},
+            )
         if converged:
             break
 
     return IterativeResult(
         ranks=state,
         converged=converged,
-        n_iterations=it,
+        n_iterations=it - start_iter,
         n_vertices=n_vertices,
         n_edges=n_edges,
         metrics=metrics,

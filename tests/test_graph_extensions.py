@@ -155,3 +155,24 @@ def test_components_checkpoint_resume(spark, tmp_path):
     assert got == {i: 0 for i in range(n)}
     cold = connected_components(df, max_iters=50)
     assert resumed.n_iterations < cold.n_iterations
+
+
+def test_labelprop_checkpoint_resume(spark, tmp_path):
+    """Synchronous LP resumed from shard K reproduces the
+    uninterrupted trajectory exactly (here on an oscillating star, the
+    sharpest check: any off-by-one superstep flips the labels)."""
+    from aduana_spark.graph.labelprop import label_propagation
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(6)], "src LONG, dst LONG"
+    )
+    full = {
+        r["id"]: r["label"]
+        for r in label_propagation(df, max_iters=5).ranks.collect()
+    }
+    ck = str(tmp_path / "ck")
+    partial = label_propagation(df, max_iters=2, checkpoint=ck, checkpoint_interval=1)
+    assert not partial.converged
+    resumed = label_propagation(df, max_iters=3, checkpoint=ck, resume=True)
+    got = {r["id"]: r["label"] for r in resumed.ranks.collect()}
+    assert got == full
