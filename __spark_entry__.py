@@ -318,6 +318,48 @@ def _q_connected_components_star(spark, sf_dir):
     return res.ranks.orderBy("id")
 
 
+def _q_connected_components_two_phase(spark, sf_dir):
+    # the O(log²)-round large-star/small-star scale path must produce
+    # the same components as minprop (same closed-form oracle)
+    from aduana_spark.graph.components import connected_components
+
+    res = connected_components(
+        _nation_star_edges(spark, sf_dir), max_iters=40, algorithm="two-phase"
+    )
+    return res.ranks.orderBy("id")
+
+
+def _q_pagerank_personalized(spark, sf_dir):
+    # J7 (page_rank.c:359-366): personalized teleport — the remainder
+    # is redistributed ∝ per-vertex content score instead of 1/N. On
+    # the bipartite graph the fixpoint is closed-form:
+    #   rem = T / (T + d·S_c);  r_cust = rem·s/T;
+    #   r_order = d·r_cust/deg + rem·s_order/T
+    # with s_cust = custkey%7+1, s_order = orderkey%5+1 (deterministic
+    # synthetic content scores), T = Σ all scores.
+    from aduana_spark.graph.pagerank import pagerank
+
+    edges = _order_edges(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders")
+    scores = (
+        o.select(F.col("o_custkey").cast("long").alias("id"))
+        .distinct()
+        .select("id", (F.col("id") % 7 + 1).cast("double").alias("score"))
+        .unionAll(
+            o.select(
+                (F.col("o_orderkey") + 1_000_000).cast("long").alias("id"),
+                ((F.col("o_orderkey") % 5) + 1).cast("double").alias("score"),
+            )
+        )
+    )
+    res = pagerank(edges, precision=1e-12, max_iters=60, scores=scores)
+    return (
+        res.ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("id").asc())
+        .limit(100)
+    )
+
+
 def _q_triangle_count(spark, sf_dir):
     # north-rule triangle count on the mod-graph (SQL-expressible)
     from aduana_spark.graph.triangles import triangle_count
@@ -595,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_change": _q_significant_change,
         "freq_next_due": _q_freq_next_due,
         "connected_components_star": _q_connected_components_star,
+        "connected_components_two_phase": _q_connected_components_two_phase,
+        "pagerank_personalized": _q_pagerank_personalized,
         "triangle_count": _q_triangle_count,
         "embedding_topk": _q_embedding_topk,
         "pagerank_orders": _q_pagerank_orders,
@@ -762,6 +806,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.c AS BIGINT) AS component
             FROM nation n JOIN comp c USING (n_regionkey)
             ORDER BY id
+        """,
+        "connected_components_two_phase": """
+            -- same closed form as connected_components_star: the
+            -- two-phase (large-star/small-star) path must agree
+            WITH comp AS (
+              SELECT n_regionkey, MIN(n_nationkey) AS c FROM nation GROUP BY 1
+            )
+            SELECT CAST(n.n_nationkey AS BIGINT) AS id, CAST(c.c AS BIGINT) AS component
+            FROM nation n JOIN comp c USING (n_regionkey)
+            UNION ALL
+            SELECT DISTINCT CAST(n_regionkey + 100 AS BIGINT) AS id,
+                   CAST(c.c AS BIGINT) AS component
+            FROM nation n JOIN comp c USING (n_regionkey)
+            ORDER BY id
+        """,
+        "pagerank_personalized": """
+            -- personalized-teleport fixpoint on the bipartite graph:
+            -- rem = T/(T + d·S_c); r_cust = rem·s_c/T;
+            -- r_order = rem/T · (d·s_cust/deg + s_order)
+            WITH deg AS (
+              SELECT o_custkey AS c, COUNT(*) AS dg FROM orders GROUP BY 1
+            ), nn AS (
+              SELECT (SELECT SUM((c % 7 + 1) * 1.0) FROM deg)
+                     + (SELECT SUM((o_orderkey % 5) + 1.0) FROM orders) AS T,
+                     (SELECT SUM((c % 7 + 1) * 1.0) FROM deg) AS S_c
+            ), ranks AS (
+              SELECT CAST(c AS BIGINT) AS id,
+                     (nn.T / (nn.T + 0.85 * nn.S_c)) * ((c % 7 + 1) * 1.0) / nn.T
+                     AS rank
+              FROM deg CROSS JOIN nn
+              UNION ALL
+              SELECT CAST(o.o_orderkey + 1000000 AS BIGINT) AS id,
+                     (nn.T / (nn.T + 0.85 * nn.S_c)) / nn.T
+                       * (0.85 * ((o.o_custkey % 7 + 1) * 1.0) / deg.dg
+                          + ((o.o_orderkey % 5) + 1.0))
+                     AS rank
+              FROM orders o JOIN deg ON o.o_custkey = deg.c CROSS JOIN nn
+            )
+            SELECT id, ROUND(rank, 6) AS rank FROM ranks
+            ORDER BY rank DESC, id ASC LIMIT 100
         """,
         "triangle_count": """
             WITH e AS (
