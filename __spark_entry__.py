@@ -575,6 +575,19 @@ def _q_entity_density(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_repetition(spark, sf_dir):
+    # Gopher repetition signal: duplicate-2gram fraction per document
+    from aduana_spark.pipeline.textstats import repetition_signals
+
+    d = _t(spark, sf_dir, "documents")
+    out = repetition_signals(d, ns=(2,))
+    return out.select(
+        "doc_id",
+        "total_2grams",
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+    ).orderBy("doc_id")
+
+
 def _q_quality_scores(spark, sf_dir):
     # pipeline.textstats composite Gopher-flavored quality signals —
     # gates the full operator, not just its sub-signals
@@ -653,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_density": _q_entity_density,
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
+        "repetition": _q_repetition,
     }
 
 
@@ -1055,6 +1069,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "language_id": _language_id_oracle(),
         "quality_scores": _quality_scores_oracle(),
+        "repetition": """
+            -- duplicate-2gram fraction: 1 − distinct/total over token
+            -- bigrams (same shingle construction as the dedup oracles)
+            SELECT doc_id,
+                   CAST(len(g) AS INT) AS total_2grams,
+                   ROUND(CASE WHEN len(g) > 0
+                         THEN 1.0 - len(list_distinct(g)) * 1.0 / len(g)
+                         ELSE 0.0 END, 6) AS dup_2gram_frac
+            FROM (
+              SELECT doc_id, list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 2),
+                       i -> array_to_string(toks[i:i+1], ' ')) AS g
+              FROM (
+                SELECT doc_id, string_split_regex(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                         ' ') AS toks
+                FROM documents
+              )
+            ) ORDER BY doc_id
+        """,
     }
 
 

@@ -25,6 +25,9 @@ from aduana_spark.pipeline.similarity import (  # noqa: F401
 )
 from aduana_spark.pipeline.textstats import (  # noqa: F401
     document_fingerprint,
+    entity_density_score,
+    repetition_signals,
+    triangle_score_col,
     keyword_score_col,
     language_id,
     quality_scores,

@@ -110,6 +110,41 @@ def keyword_score_col(text: Column | str, keywords: list[str]) -> Column:
     return F.least(matches / F.lit(20.0), F.lit(1.0))
 
 
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition signals: for each token n-gram size in
+    ``ns``, the fraction of n-gram occurrences that are repeats of an
+    earlier n-gram in the same document —
+    ``dup_{n}gram_frac = 1 − distinct/total``. Boilerplate and
+    spam-generated pages score high; clean prose scores near 0. All
+    native Column expressions (split/transform/array_distinct), one
+    narrow projection per document — no shuffle, no Python."""
+    text = _c(text_col)
+    toks = F.split(F.trim(F.lower(F.regexp_replace(text, r"\s+", " "))), " ")
+
+    def _grams(n: int) -> Column:
+        # NB: a two-arg lambda (even with a default) would be treated
+        # by transform() as the (element, index) form — bind n here
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+    cols = [F.col(id_col)]
+    for n in ns:
+        grams = _grams(n)
+        total = F.size(grams)
+        frac = F.when(
+            total > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+        ).otherwise(F.lit(0.0))
+        cols.append(total.alias(f"total_{n}grams"))
+        cols.append(frac.alias(f"dup_{n}gram_frac"))
+    return df.select(*cols)
+
+
 def triangle_score_col(density: Column | str, peak: float) -> Column:
     """X11 — the locations example's ``triangle(a)`` scorer
     (examples/locations/locations/spiders/locations.py:18-26): score

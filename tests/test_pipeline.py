@@ -401,3 +401,23 @@ def test_ivf_partition_pruned_storage(spark, tmp_path, vectors):
     )
     rows = got.collect()
     assert rows[0]["vec_id"] == 3 and rows[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_repetition_signals(spark):
+    """Gopher repetition signal: a looping document scores high
+    duplicate-2gram fraction; varied prose scores near zero."""
+    from aduana_spark.pipeline.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (0, "buy now " * 50),          # pure repetition
+            (1, "the quick brown fox jumps over one lazy dog today"),
+            (2, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs, ns=(2,)).collect()}
+    # "buy now"×50 → 99 bigrams, only 3 distinct ("buy now","now buy","now ")
+    assert rows[0]["dup_2gram_frac"] > 0.9
+    assert rows[1]["dup_2gram_frac"] == pytest.approx(0.0)
+    assert rows[2]["dup_2gram_frac"] == 0.0 and rows[2]["total_2grams"] >= 0
