@@ -45,8 +45,13 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     for dirpath, _dirs, files in sorted(os.walk(pkg)):
         for fn in sorted(files):
             if fn.endswith(".py"):
-                with open(os.path.join(dirpath, fn), "rb") as fh:
-                    h.update(fn.encode())
+                fp = os.path.join(dirpath, fn)
+                with open(fp, "rb") as fh:
+                    # hash the repo-relative path, not the basename:
+                    # moving a module between subpackages must change
+                    # the digest or a stale zip with the old layout
+                    # would be reused inside UDF workers
+                    h.update(os.path.relpath(fp, repo).encode())
                     h.update(fh.read())
     zip_base = f"/tmp/aduana_spark_pkg_{h.hexdigest()[:16]}"
     if not os.path.exists(zip_base + ".zip"):
@@ -151,6 +156,32 @@ def _q_frontier_topk(spark, sf_dir):
             F.col("o_orderkey").alias("key"),
             F.round(F.col("o_totalprice"), 2).alias("score"),
         )
+        .orderBy(F.col("score").desc(), F.col("key").asc())
+        .limit(100)
+    )
+
+
+def _q_frontier_topk_per_domain(spark, sf_dir):
+    # §2.5 politeness interleave (frontier_topk(per_domain_k=...)):
+    # rank window caps each "domain" (custkey bucket) at 3 entries
+    # before the global best-first top-k — one hub cannot monopolize
+    # the batch. Same plan shape as
+    # aduana_spark.frontier.bf_scheduler.frontier_topk: row_number
+    # over (domain, score DESC, key ASC), then TakeOrderedAndProject.
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    w = Window.partitionBy(F.col("o_custkey") % 50).orderBy(
+        F.round(F.col("o_totalprice"), 2).desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            F.col("o_orderkey").alias("key"),
+            F.round(F.col("o_totalprice"), 2).alias("score"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .drop("rn")
         .orderBy(F.col("score").desc(), F.col("key").asc())
         .limit(100)
     )
@@ -634,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_dedup": _q_edge_dedup,
         "cross_domain_edges": _q_cross_domain_edges,
         "frontier_topk": _q_frontier_topk,
+        "frontier_topk_per_domain": _q_frontier_topk_per_domain,
         "schedule_escalation": _q_schedule_escalation,
         "regex_find": _q_regex_find,
         "seed_filter": _q_seed_filter,
@@ -696,6 +728,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey AS key, ROUND(o_totalprice, 2) AS score
             FROM orders WHERE o_orderstatus = 'O'
             ORDER BY score DESC, key ASC LIMIT 100
+        """,
+        "frontier_topk_per_domain": """
+            SELECT key, score FROM (
+              SELECT o_orderkey AS key, ROUND(o_totalprice, 2) AS score,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey % 50
+                         ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey ASC) AS rn
+              FROM orders WHERE o_orderstatus = 'O') t
+            WHERE rn <= 3 ORDER BY score DESC, key ASC LIMIT 100
         """,
         "schedule_escalation": """
             SELECT CASE WHEN o_totalprice < 50000 THEN 0

@@ -318,8 +318,12 @@ class BFScheduler(BFSchedulerView):
         self.max_depth = d or None
 
     def add(self, batch: DataFrame) -> None:
+        # count pages, not batches: the reference's update gate
+        # (bf_scheduler.c:537-549, BF_SCHEDULER_UPDATE_NUM_PAGES) counts
+        # crawled pages added, and one add() batch may hold many
+        n = batch.count()
         super().add(batch)
-        self._pages_since_update += 1
+        self._pages_since_update += n
 
     def maybe_update(self, now: float | None = None) -> bool:
         """The reference's update thread (bf_scheduler.c:537-549 +
@@ -334,7 +338,10 @@ class BFScheduler(BFSchedulerView):
         if self.update_interval is not None and self._last_update_time is not None:
             if now - self._last_update_time < self.update_interval:
                 return False
-        n_old = max(self.page_info.count() - self._pages_since_update, 0)
+        # crawled pages only (n_crawls > 0): page_info also holds
+        # uncrawled link-only rows the reference's gate never counts
+        n_crawled = self.page_info.where(F.col("n_crawls") > 0).count()
+        n_old = max(n_crawled - self._pages_since_update, 0)
         if not update_due(n_old, self._pages_since_update):
             return False
         self.update_scores()

@@ -43,6 +43,7 @@ def frontier_topk(
     max_depth: int | None = None,
     domain_rate: DataFrame | None = None,
     crawl_limit: float | None = None,
+    per_domain_k: int | None = None,
 ) -> DataFrame:
     """The ranked crawl-frontier view (north rule): top-k unfetched
     URLs by score with the reference's deterministic tie-break.
@@ -51,6 +52,12 @@ def frontier_topk(
     ``served``: optional (url) log of already-served entries (pop
     semantics). ``domain_rate``: optional (domain, temp) table for the
     politeness gate F2 (bf_scheduler.c:716-721).
+    ``per_domain_k``: optional politeness interleave (SURVEY §2.5) —
+    admit at most k pages per domain BEFORE the global top-k, so one
+    hub domain cannot monopolize the frontier batch (the declarative
+    upgrade of the reference's temperature-based skipping). Compiles
+    to a rank window partitioned by domain: one shuffle on domain,
+    then the usual TakeOrderedAndProject — no global sort.
     """
     cand = schedule.join(
         page_info.select("url", "n_crawls", "depth"), "url", "left"
@@ -65,6 +72,17 @@ def frontier_topk(
             domain_rate, "domain", "left"
         ).where(F.coalesce("temp", F.lit(0.0)) <= F.lit(crawl_limit)).drop(
             "domain", "temp"
+        )
+    if per_domain_k is not None and per_domain_k > 0:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(domain_col("url")).orderBy(
+            F.col("score").desc(), F.xxhash64("url").asc()
+        )
+        cand = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= per_domain_k)
+            .drop("_rn")
         )
     return (
         cand.orderBy(F.col("score").desc(), F.xxhash64("url").asc())
@@ -136,7 +154,15 @@ class BFSchedulerView:
     def set_crawl_rate(self, soft_rate: float, hard_rate: float) -> None:
         """bf_scheduler_set_max_domain_crawl_rate
         (bf_scheduler.c:832-855): window sized so ~10 crawls at the
-        hard rate fit inside it."""
+        hard rate fit inside it. Non-positive hard_rate disables
+        politeness (like soft_rate < 0 in _escalation_limits) instead
+        of raising ZeroDivisionError — the C float division degrades
+        to inf rather than throwing."""
+        if hard_rate is None or hard_rate <= 0:
+            self.soft_rate = -1.0
+            self.hard_rate = None
+            self.temp_window = None
+            return
         self.soft_rate = soft_rate
         self.hard_rate = hard_rate
         self.temp_window = 10.0 / hard_rate

@@ -291,7 +291,13 @@ class FreqSchedulerView:
         out: list[str] = []
         while heap and len(out) < n:
             score, url, freq = heapq.heappop(heap)
-            last_crawl, n_crawls = state.get(url, (None, 0))
+            if url not in state:
+                # freq_scheduler_request deletes entries whose PageInfo
+                # lookup returns NULL without serving them
+                # (freq_scheduler.c:335-372, pi == NULL path)
+                self._schedule.pop(url, None)
+                continue
+            last_crawl, n_crawls = state[url]
             if self.margin >= 0 and last_crawl is not None:
                 if now - last_crawl < 1.0 / (freq * (1.0 + self.margin)):
                     heapq.heappush(heap, (score, url, freq))

@@ -65,7 +65,13 @@ def connected_components(
     any shard converges to the identical fixpoint.
     """
     if algorithm == "two-phase":
-        return connected_components_two_phase(edges, max_iters=max_iters)
+        return connected_components_two_phase(
+            edges,
+            max_iters=max_iters,
+            checkpoint=checkpoint,
+            checkpoint_interval=checkpoint_interval,
+            resume=resume,
+        )
     spark = edges.sparkSession
     ckpt = (
         CheckpointManager(checkpoint, "components")
@@ -181,7 +187,11 @@ def _small_star(directed: DataFrame) -> DataFrame:
 
 
 def connected_components_two_phase(
-    edges: DataFrame, max_iters: int = 40
+    edges: DataFrame,
+    max_iters: int = 40,
+    checkpoint: CheckpointManager | str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> IterativeResult:
     """Alternating large-star/small-star connected components
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -192,10 +202,24 @@ def connected_components_two_phase(
     Each round is two groupBy-min + join passes over the shrinking
     edge list; convergence = the small-star output is a stable
     star forest (edge multiset unchanged, detected by count +
-    order-insensitive hash)."""
+    order-insensitive hash).
+
+    Checkpoint/resume: the per-round edge list IS the whole state
+    (each round is a pure function of the previous round's edges), so
+    the shard is the (src, dst) list and the manifest carries the
+    convergence signature. ``resume=True`` reloads the latest shard
+    and continues the round loop from there; the result is identical
+    to the uninterrupted run because the round transform is
+    deterministic. The vertex set is always recomputed from the input
+    ``edges`` (isolated vertices never enter the star forest)."""
     import time as _time
 
     spark = edges.sparkSession
+    ckpt = (
+        CheckpointManager(checkpoint, "components_two_phase")
+        if isinstance(checkpoint, str)
+        else checkpoint
+    )
     verts = (
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))
@@ -221,8 +245,15 @@ def connected_components_two_phase(
     metrics: list[SuperstepMetrics] = []
     converged = False
     prev_sig = None
-    it = 0
-    for it in range(1, max_iters + 1):
+    start_iter = 0
+    if resume and ckpt is not None and ckpt.latest() is not None:
+        start_iter = ckpt.latest()
+        cur = ckpt.load(spark, start_iter).select("src", "dst")
+        man = ckpt.manifest(start_iter)
+        if "sig_n" in man:
+            prev_sig = (man["sig_n"], man["sig_h"])
+    it = start_iter
+    for it in range(start_iter + 1, start_iter + max_iters + 1):
         t0 = _time.time()
         sym = cur.unionAll(
             cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -236,6 +267,20 @@ def connected_components_two_phase(
         )
         if sig == prev_sig:
             converged = True
+        if ckpt is not None and (
+            it % checkpoint_interval == 0 or converged or it == start_iter + max_iters
+        ):
+            cur = ckpt.save(
+                it,
+                cur,
+                {
+                    "algo": "components_two_phase",
+                    "sig_n": sig[0],
+                    "sig_h": sig[1],
+                    "wall_sec": wall,
+                },
+            )
+        if converged:
             break
         prev_sig = sig
 
@@ -248,7 +293,7 @@ def connected_components_two_phase(
     return IterativeResult(
         ranks=comp,
         converged=converged,
-        n_iterations=it,
+        n_iterations=it - start_iter,
         n_vertices=n_vertices,
         n_edges=n_edges,
         metrics=metrics,

@@ -120,7 +120,7 @@ def _finalize(out: DataFrame, caches: list[DataFrame], eager: bool) -> DataFrame
 
 def _cap_buckets(
     buckets: DataFrame, keys: list[str], max_bucket_size: int | None
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame | None]:
     """Drop candidate buckets larger than ``max_bucket_size`` (the
     O(b²) self-join guard). The oversized-bucket list is tiny by
     construction → broadcast anti-join; the drop count is logged so
@@ -433,19 +433,27 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    max_bucket_size: int | None = 10_000,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold: random-hyperplane
     LSH buckets (single probe) + exact cosine verify inside buckets.
     Recall < 1 by construction (LSH); raise n_probes by lowering
-    n_planes for higher recall."""
+    n_planes for higher recall. Hyperplane buckets larger than
+    ``max_bucket_size`` are dropped with a logged warning (same O(b²)
+    guard as the minhash/simhash paths — a degenerate bucket, e.g. all
+    zero vectors landing in one cell, would otherwise self-join
+    quadratically)."""
     from aduana_spark.pipeline.similarity import add_lsh_buckets, _cosine_expr
 
     tagged = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
-    tagged = add_lsh_buckets(tagged, "v", n_planes, seed, bucket_col="bucket")
-    left = tagged.select("bucket", F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
-    right = tagged.select("bucket", F.col("doc_id").alias("id_b"), F.col("v").alias("v_b"))
+    tagged = add_lsh_buckets(tagged, "v", n_planes, seed, bucket_col="bucket").persist()
+    buckets, big = _cap_buckets(tagged, ["bucket"], max_bucket_size)
+    left = buckets.select("bucket", F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
+    right = buckets.select("bucket", F.col("doc_id").alias("id_b"), F.col("v").alias("v_b"))
     pairs = left.join(right, "bucket").where(F.col("id_a") < F.col("id_b"))
     cos = _cosine_expr("v_a", "v_b")
-    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+    out = pairs.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
     )
+    return _finalize(out, [tagged] + ([big] if big is not None else []), eager)

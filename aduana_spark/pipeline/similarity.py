@@ -203,11 +203,23 @@ def kmeans_centroids(
     """Coarse quantizer for IVF: Lloyd's k-means. Assignment is the
     broadcast pandas UDF above; updates aggregate per-cell sums/counts
     distributedly — one groupBy per iteration, and the only
-    driver-side data is the k × dim (cell, pos, sum, count) rows."""
+    driver-side data is the k × dim (cell, pos, sum, count) rows.
+
+    Seeding draws a uniform random sample (rand(seed) + limit →
+    TakeOrderedAndProject: one pass, per-partition top-n heap, no full
+    sort shuffle) rather than head-of-table — the first parquet rows
+    of a 100 TB table are not i.i.d., and a skewed seed slows Lloyd's
+    convergence. Driver data volume is unchanged (sample_limit rows)."""
     import pyspark.sql.functions as F  # noqa: F811
 
     first = np.array(
-        [r[0] for r in df.select(vec_col).limit(sample_limit).collect()],
+        [
+            r[0]
+            for r in df.select(vec_col)
+            .orderBy(F.rand(seed))
+            .limit(sample_limit)
+            .collect()
+        ],
         dtype=float,
     )
     rng = np.random.RandomState(seed)

@@ -105,7 +105,12 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def keyword_score_col(text: Column | str, keywords: list[str]) -> Column:
     """X10 (examples/keywords/scorer.py:10-21): score =
     min(1, matches/20) over a keyword list."""
-    pat = rf"(?i)\b(?:{'|'.join(keywords)})\b"
+    import re as _re
+
+    # escape terms: a keyword like 'c++' must match literally, not
+    # blow up the alternation (an oracle comparing this column must
+    # apply the same escaping; plain-word terms are unchanged)
+    pat = rf"(?i)\b(?:{'|'.join(_re.escape(k) for k in keywords)})\b"
     matches = F.size(F.regexp_extract_all(_c(text), F.lit(pat), F.lit(0)))
     return F.least(matches / F.lit(20.0), F.lit(1.0))
 
@@ -172,8 +177,12 @@ def entity_density_score(
     matching is one JVM-side regexp over the alternation, no Python.
 
     Returns (id, n_entities, density, entity_score)."""
+    import re as _re
+
     text = _c(text_col)
-    pat = rf"(?i)\b(?:{'|'.join(terms)})\b"
+    # gazetteer terms like 'st. louis' must match literally (escaped);
+    # plain-word terms produce the identical pattern as before
+    pat = rf"(?i)\b(?:{'|'.join(_re.escape(t) for t in terms)})\b"
     hits = F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
     density = F.when(
         F.length(text) > 0, hits.cast("double") / F.length(text)

@@ -405,7 +405,15 @@ def test_freq_facade_serving_ratios(spark):
     are proportional to revisit frequency."""
     from aduana_spark.frontier.freq_scheduler import FreqSchedulerView
 
-    fs = FreqSchedulerView(spark)
+    # the served pages must exist in page_info: the pi==NULL path
+    # deletes unknown entries without serving (freq_scheduler.c:335-372)
+    pi = spark.createDataFrame(
+        [(u, None, 0, TS, TS, 0, 1, 0.0, None) for u in "abc"],
+        schema="url STRING, linked_from STRING, depth BIGINT, first_crawl TIMESTAMP,"
+        " last_crawl TIMESTAMP, n_changes BIGINT, n_crawls BIGINT, score DOUBLE,"
+        " content_hash BINARY",
+    )
+    fs = FreqSchedulerView(spark, page_info=pi)
     fs.load([("a", 0.1), ("b", 0.005), ("c", 0.002)])
     served = fs.requests(10_000, now=0.0)
     counts = {u: served.count(u) for u in "abc"}
@@ -433,3 +441,75 @@ def test_freq_from_settings(spark):
     assert fs.margin == pytest.approx(0.5)
     assert fs.max_n_crawls == 10
     assert fs._schedule["https://a.com"][1] == pytest.approx(0.2)  # 4 × 0.05
+
+
+def test_freq_missing_pageinfo_deleted(spark):
+    """freq_scheduler_request (freq_scheduler.c:335-372): schedule
+    entries whose PageInfo lookup returns NULL are deleted without
+    being served — a load() of an unknown URL must not be served on
+    every request forever."""
+    from aduana_spark.frontier.freq_scheduler import FreqSchedulerView
+
+    pi = spark.createDataFrame(
+        [("a", None, 0, TS, TS, 0, 1, 0.0, None)],
+        schema="url STRING, linked_from STRING, depth BIGINT, first_crawl TIMESTAMP,"
+        " last_crawl TIMESTAMP, n_changes BIGINT, n_crawls BIGINT, score DOUBLE,"
+        " content_hash BINARY",
+    )
+    fs = FreqSchedulerView(spark, page_info=pi)
+    fs.load([("a", 0.1), ("ghost", 10.0)])  # ghost would win every pop
+    served = fs.requests(4, now=0.0)
+    assert served == ["a"] * 4
+    assert "ghost" not in fs._schedule
+    assert "a" in fs._schedule
+
+
+def test_set_crawl_rate_nonpositive_hard_disables(spark):
+    """hard_rate <= 0 must not raise ZeroDivisionError (the C float
+    division, bf_scheduler.c:832-848, degrades to inf): treat it as
+    politeness-disabled, like soft_rate < 0."""
+    sch = BFSchedulerView(spark)
+    sch.set_crawl_rate(0.25, 0.0)
+    assert sch.temp_window is None
+    assert sch._escalation_limits() == [None]
+    sch.set_crawl_rate(0.25, 4.0)  # re-arming afterwards still works
+    assert sch.temp_window == pytest.approx(2.5)
+
+
+def test_maybe_update_counts_pages_not_batches(spark):
+    """BF_SCHEDULER_UPDATE_NUM_PAGES (bf_scheduler.c:537-549) counts
+    crawled *pages*, not add() calls: one 120-page batch must trip the
+    >=100-new-pages gate."""
+    from aduana_spark.api import BFScheduler
+
+    rows = [
+        (i, f"https://d{i}.com/", [(f"https://d{i}.com/x", 0.5)], 0.0, b"h", TS)
+        for i in range(120)
+    ]
+    batch = spark.createDataFrame(rows, schema=BATCH_SCHEMA)
+    sch = BFScheduler(spark)
+    sch.add(batch)
+    assert sch._pages_since_update == 120
+    assert sch.maybe_update() is True
+    assert sch._pages_since_update == 0
+
+
+def test_frontier_topk_per_domain(spark):
+    """SURVEY §2.5 politeness interleave: per_domain_k caps each
+    domain's share of the batch before the global top-k, so a hub
+    domain cannot monopolize the frontier."""
+    pi = empty_page_info(spark)
+    links = [(f"https://hub.com/p{i}", 0.9 - i / 1000.0) for i in range(5)]
+    links += [(f"https://small{i}.org/", 0.5 - i / 1000.0) for i in range(3)]
+    pi, sched = ingest_crawl_batch(pi, _batch(spark, 0, "https://seed.io/", links))
+    plain = [r["url"] for r in frontier_topk(sched, pi, 4).collect()]
+    assert plain == [f"https://hub.com/p{i}" for i in range(4)]
+    capped = [
+        r["url"] for r in frontier_topk(sched, pi, 4, per_domain_k=2).collect()
+    ]
+    assert capped == [
+        "https://hub.com/p0",
+        "https://hub.com/p1",
+        "https://small0.org/",
+        "https://small1.org/",
+    ]

@@ -176,3 +176,35 @@ def test_labelprop_checkpoint_resume(spark, tmp_path):
     resumed = label_propagation(df, max_iters=3, checkpoint=ck, resume=True)
     got = {r["id"]: r["label"] for r in resumed.ranks.collect()}
     assert got == full
+
+
+def test_two_phase_cc_checkpoint_resume(spark, tmp_path):
+    """Kill/resume on the O(log²) scale path: the per-round edge list
+    is the whole state, so resuming from the latest shard reproduces
+    the uninterrupted run's exact labels (the round transform is
+    deterministic) in fewer rounds than a cold start."""
+    from aduana_spark.graph.components import connected_components
+
+    edges = [(i, i + 1) for i in range(64)]  # path: several rounds
+    edges += [(200 + i, 201 + i) for i in range(20)]
+    df = _edges_df(spark, edges)
+    ck = str(tmp_path / "ck2p")
+    partial = connected_components(
+        df, algorithm="two-phase", max_iters=2, checkpoint=ck, checkpoint_interval=1
+    )
+    assert not partial.converged
+    resumed = connected_components(
+        df, algorithm="two-phase", max_iters=40, checkpoint=ck, resume=True
+    )
+    assert resumed.converged
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    want = {}
+    for comp in nx.connected_components(g):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    got = {r["id"]: r["component"] for r in resumed.ranks.collect()}
+    assert got == want
+    cold = connected_components(df, algorithm="two-phase", max_iters=40)
+    assert resumed.n_iterations < cold.n_iterations

@@ -421,3 +421,32 @@ def test_repetition_signals(spark):
     assert rows[0]["dup_2gram_frac"] > 0.9
     assert rows[1]["dup_2gram_frac"] == pytest.approx(0.0)
     assert rows[2]["dup_2gram_frac"] == 0.0 and rows[2]["total_2grams"] >= 0
+
+
+def test_embedding_near_duplicates_bucket_cap(spark):
+    """The hyperplane-LSH path gets the same O(b²) guard as
+    minhash/simhash: a degenerate bucket (here 10 identical vectors)
+    above max_bucket_size is dropped — its pairs are NOT emitted —
+    while pairs in healthy buckets still are."""
+    u = [1.0, 0.2, -0.3, 0.5]
+    rows = [(i, u) for i in range(10)]  # one bucket of 10 identical vecs
+    # near-pair in the complementary bucket (-u flips every plane sign)
+    rows += [
+        (100, [-x + 1e-4 for x in u]),
+        (101, [-x + 2e-4 for x in u]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.99, n_planes=6, max_bucket_size=5
+        ).collect()
+    }
+    assert capped == {(100, 101)}
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.99, n_planes=6, max_bucket_size=None
+        ).collect()
+    }
+    assert (0, 1) in uncapped and (100, 101) in uncapped
