@@ -25,11 +25,17 @@ BASELINE.md — no real cluster in this sandbox):
   for every level: AQE's ``coalescePartitions.parallelismFirst``
   targets defaultParallelism, which differs per level — the layouts
   would silently diverge.
-- Every cycle is bracketed by single-core + forked-multi-core
-  steal probes and a /proc/stat window; contaminated cycles are
-  EXCLUDED, and a level with <2 clean cycles is reported
-  ``unmeasurable`` with the blocking evidence instead of silently
-  falling back to contaminated data.
+- Host steal on this VM arrives in bursts shorter than a cycle, so
+  contamination is judged PER SUPERSTEP: a 4 Hz /proc/stat sampler
+  inside each cycle attributes steal to individual superstep
+  windows, and only supersteps with ≤3% of the job's own cores
+  stolen AND kernel time under 0.4× user time (lock-holder
+  preemption shows up as kernel-dominated stalls, not steal) count
+  as cost samples. A level with <3 clean supersteps is reported
+  ``unmeasurable`` with the blocking
+  evidence instead of silently falling back to contaminated data.
+  Cycle-level single-core/multi-core probes are kept as
+  corroboration in the detail file.
 
 Edge table: deduplicated union of the star-schema's natural digraphs
 (customer→order, order→part, part→supplier) — Zipf-ish part reuse
@@ -322,6 +328,28 @@ def _proc_stat() -> list[int] | None:
         return None
 
 
+def _proc_stat_cpus(cores: int) -> list[int] | None:
+    """Summed ticks over ONLY the pinned CPUs (lines cpu0..cpu{N-1}).
+    Host-wide steal over-attributes: interference on cpu20 is not
+    interference with a job pinned to cpus 0-7, and light background
+    threads (the parent's probes, kernel housekeeping) accrue
+    steal/system on cores the job never touches."""
+    try:
+        agg: list[int] | None = None
+        with open("/proc/stat") as fh:
+            for line in fh:
+                if line.startswith("cpu") and len(line) > 3 and line[3].isdigit():
+                    parts = line.split()
+                    if int(parts[0][3:]) < cores:
+                        vals = [int(x) for x in parts[1:]]
+                        agg = vals if agg is None else [
+                            a + b for a, b in zip(agg, vals)
+                        ]
+        return agg
+    except Exception:
+        return None
+
+
 def _proc_stat_delta(a, b) -> dict:
     """CPU-time split (%) between two /proc/stat snapshots — the
     hypervisor's own accounting of steal during the window, immune to
@@ -348,9 +376,29 @@ def _cycle_main(argv: list[str]) -> None:
     edges_path, out_path = argv[3], argv[4]
     os.sched_setaffinity(0, set(range(cores)))
     import pathlib
+    import threading
 
     from aduana_spark.graph.pagerank import pagerank
     from aduana_spark.session import get_spark
+
+    # per-pinned-CPU /proc/stat sampler: host steal on this VM arrives
+    # in bursts that hit mid-cycle (lock-holder preemption inflates
+    # guest *system* time too, so a stolen window shows kernel-heavy
+    # 10× superstep walls). Sampling the job's own N CPUs at 4 Hz lets
+    # the parent classify each superstep individually — one clean
+    # superstep anywhere in the cycle is a valid cost sample, where
+    # cycle-level probes would discard the whole cycle — without
+    # counting interference on cores the job never touches.
+    samples: list[tuple[float, list[int] | None]] = []
+    stop_evt = threading.Event()
+
+    def _sampler():
+        while not stop_evt.is_set():
+            samples.append((time.monotonic(), _proc_stat_cpus(cores)))
+            stop_evt.wait(0.25)
+
+    thr = threading.Thread(target=_sampler, daemon=True)
+    thr.start()
 
     pathlib.Path("/dev/shm/spark-local").mkdir(exist_ok=True)
     spark = get_spark(
@@ -372,12 +420,17 @@ def _cycle_main(argv: list[str]) -> None:
         stat0 = _proc_stat()
         res = pagerank(edges, precision=1e-6, max_iters=supersteps)
         stat1 = _proc_stat()
+        end_mono = time.monotonic()
+        stop_evt.set()
+        thr.join(timeout=2)
+        walls = [m.wall_sec for m in res.metrics]
         out = {
             "cores": cores,
             "n_edges": res.n_edges,
             "total_sec": round(time.time() - t0, 2),
-            "walls_sec": [round(m.wall_sec, 2) for m in res.metrics],
+            "walls_sec": [round(w, 2) for w in walls],
             "cpu_during": _proc_stat_delta(stat0, stat1),
+            "supersteps": _per_superstep_cpu(samples, walls, end_mono, cores),
         }
     finally:
         spark.stop()
@@ -385,9 +438,52 @@ def _cycle_main(argv: list[str]) -> None:
         json.dump(out, fh)
 
 
+def _per_superstep_cpu(
+    samples: list, walls: list[float], end_mono: float, cores: int
+) -> list[dict]:
+    """Map sampler snapshots onto superstep windows (supersteps run
+    back-to-back ending at ``end_mono``) and report per-superstep
+    steal/system/user in units of CORES (tick-rate × share of window),
+    plus steal as a fraction of the N cores the pinned job owns."""
+    bounds = []
+    t = end_mono
+    for w in reversed(walls):
+        bounds.append((t - w, t))
+        t -= w
+    bounds.reverse()
+    out = []
+    for (a, b), w in zip(bounds, walls):
+        win = [(tm, st) for tm, st in samples if st is not None and a <= tm <= b]
+        if len(win) < 2:
+            out.append({"wall_sec": round(w, 2)})
+            continue
+        (t0, s0), (t1, s1) = win[0], win[-1]
+        dt = max(t1 - t0, 1e-6)
+        d = [y - x for x, y in zip(s0, s1)]
+        hz = os.sysconf("SC_CLK_TCK")
+        names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+        cores_by = {n: v / hz / dt for n, v in zip(names, d[:8])}
+        out.append(
+            {
+                "wall_sec": round(w, 2),
+                "user_cores": round(cores_by["user"], 2),
+                "system_cores": round(cores_by["system"], 2),
+                "steal_cores": round(cores_by["steal"], 3),
+                "steal_frac_of_job": round(cores_by["steal"] / cores, 4),
+            }
+        )
+    return out
+
+
 def _run_pinned_cycle(
-    cores: int, partitions: int, supersteps: int, edges_path: str
+    cores: int, partitions: int, supersteps: int, edges_path: str,
+    timeout_sec: int = 900,
 ) -> dict:
+    """One pinned cycle in a subprocess. A clean cycle finishes in
+    2-6 minutes even at N=2; a cycle that blows past ``timeout_sec``
+    is by definition heavily contaminated — kill it and record the
+    timeout so the parent counts it as zero clean supersteps instead
+    of stalling the whole suite behind a steal storm."""
     import subprocess
     import tempfile
 
@@ -406,11 +502,19 @@ def _run_pinned_cycle(
                 out_path,
             ],
             check=True,
+            timeout=timeout_sec,
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
         with open(out_path) as fh:
             return json.load(fh)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        return {
+            "cores": cores,
+            "failed": type(e).__name__,
+            "walls_sec": [],
+            "supersteps": [],
+        }
     finally:
         os.unlink(out_path)
 
@@ -433,6 +537,29 @@ def _materialize_scaling_table(copies: int) -> tuple[str, int]:
 # warmup — drop them from the steady-state walls
 WARMUP_SUPERSTEPS = 2
 
+# A superstep is an uncontaminated cost sample when (a) the host stole
+# <=3% of the job's pinned cores during its window (direct slowdown
+# bound) and (b) guest kernel time stayed under 0.4x user time. (b)
+# catches the second observed failure mode: kernel-dominated stalls
+# (lock-holder preemption / reclaim) that triple a wall while
+# accounted steal stays low. The ratio gate is scale-free because
+# legitimate kernel share (tmpfs shuffle memcpy) grows with core
+# count; measured healthy supersteps cluster at sys/user <= 0.35 at
+# every width (n2 0.03, n8 0.03, n32 0.22-0.35) and pathological
+# windows at >= 0.85 — 0.4 splits the clusters, it does not tune to
+# any particular sample.
+STEAL_FRAC_CLEAN = 0.03
+KERNEL_USER_RATIO_CLEAN = 0.4
+
+
+def _superstep_clean(ss: dict, cores: int) -> bool:
+    return (
+        "steal_frac_of_job" in ss
+        and ss["steal_frac_of_job"] <= STEAL_FRAC_CLEAN
+        and ss.get("system_cores", float("inf"))
+        <= KERNEL_USER_RATIO_CLEAN * ss.get("user_cores", 0.0)
+    )
+
 
 def run_scaling(
     core_levels=(2, 8, 32), supersteps: int = 6, repeats: int | None = None
@@ -443,22 +570,24 @@ def run_scaling(
     shuffle layout, AQE off, and each cycle in a fresh subprocess
     pinned to exactly N of the host's 32 cores (see module docstring).
 
-    Steal-robust estimator (this VM has heavy intermittent host CPU
-    steal): every cycle is bracketed by single-core steal probes plus
-    a forked-multi-core quota probe; cycles whose probes exceed the
-    contamination gates are EXCLUDED from the per-level minimum, and a
-    level with fewer than 2 clean cycles is reported ``unmeasurable``
-    with the blocking probe evidence — never silently backfilled from
-    contaminated cycles. The per-superstep wall is the min over
-    steady-state supersteps of clean cycles (identical work per
-    superstep → the min is the machine's true cost).
+    Steal-robust estimator (this VM has heavy bursty host CPU steal,
+    shorter than a cycle): a 4 Hz in-cycle /proc/stat sampler
+    attributes steal to individual superstep windows; only supersteps
+    with ≤3% of the job's cores stolen are cost samples, and a level
+    with fewer than 3 steal-clean supersteps is reported
+    ``unmeasurable`` with the blocking evidence — never silently
+    backfilled from contaminated walls. The per-level cost is the min
+    over clean steady-state supersteps (identical work per superstep
+    → the min is the machine's true cost). Cycle-bracketing
+    single-core and forked-multi-core probes are recorded as
+    corroboration.
     ``host_effective_cores`` additionally measures the host's
     sustained compute and memory-bandwidth ceilings;
     ``efficiency_vs_*_ceiling`` normalizes the measured speedup by
     the speedup the host itself can express (N threads on one box
     share a single memory system; N→4N *executors* on a cluster
     multiply memory systems with cores)."""
-    repeats = repeats or int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "4"))
+    repeats = repeats or int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     copies = int(os.environ.get("SPARK_GRAFT_SCALING_COPIES", "32"))
     # 8 tasks per core at the widest level: with only 2 waves one
     # straggler in a 32-thread single-JVM wave costs ~50% wall —
@@ -479,7 +608,23 @@ def run_scaling(
     out["host_probe_start"] = host_effective_cores(levels=(1,) + tuple(core_levels))
     max_level = max(core_levels)
     cycles: list[dict] = []
+
+    def _clean_count(cores: int) -> int:
+        return sum(
+            1
+            for c in cycles
+            if c["cores"] == cores
+            for ss in c["supersteps"]
+            if _superstep_clean(ss, cores)
+        )
+
     for cycle_i in range(repeats):
+        # adaptive early stop: once every level carries >=4 steal-clean
+        # steady-state supersteps from >=2 cycles, more cycles only add
+        # wall-clock — the min estimator is already well supported
+        if cycle_i >= 2 and all(_clean_count(c) >= 4 for c in core_levels):
+            out["early_stop_after_cycles"] = cycle_i
+            break
         for cores in core_levels:
             probe_before = steal_probe()
             # multi-core contamination gate: single-core probes miss
@@ -500,36 +645,57 @@ def run_scaling(
                     "total_sec": r.get("total_sec"),
                     "walls_sec": r["walls_sec"][WARMUP_SUPERSTEPS:],
                     "all_walls_sec": r["walls_sec"],
+                    "failed": r.get("failed"),
+                    "supersteps": r.get("supersteps", [])[WARMUP_SUPERSTEPS:],
                 }
             )
+            # incremental persistence: a killed suite still leaves the
+            # per-cycle evidence on disk
+            try:
+                with open(DETAIL_FILE + ".partial", "w") as fh:
+                    json.dump({"cycles": cycles, **{k: v for k, v in out.items() if k != "cycles"}}, fh)
+            except OSError:
+                pass
     best_probe = min(min(c["probe_before_sec"], c["probe_after_sec"]) for c in cycles)
     best_mc = max(c["mc_effective_cores_before"] for c in cycles)
-    for c in cycles:
-        # steal_pct gate: the pinned job idles 32-N cores, so normalize
-        # host steal to the share of the cores the job actually used
-        used_frac = c["cores"] / 32.0
-        c["contaminated"] = (
-            max(c["probe_before_sec"], c["probe_after_sec"]) > 1.3 * best_probe
-            or c["mc_effective_cores_before"] < 0.75 * best_mc
-            or c.get("cpu_during", {}).get("steal_pct", 0.0) > 10.0 * used_frac
-        )
     out["best_probe_sec"] = best_probe
     out["best_mc_effective_cores"] = best_mc
     out["cycles"] = cycles
+    # Per-SUPERSTEP selection: host steal on this VM arrives in bursts
+    # shorter than a cycle, and a preempted lock holder inflates guest
+    # kernel time ~10× on the stolen window (the erratic-wall
+    # signature). A superstep whose sampled steal is <= 3% of the
+    # job's own cores is an uncontaminated cost sample even when its
+    # cycle neighbors were hit. Identical work per superstep → the min
+    # over clean supersteps is the machine's true cost.
     for cores in core_levels:
         mine = [c for c in cycles if c["cores"] == cores]
-        clean = [c for c in mine if not c["contaminated"]]
-        lvl: dict = {"edges": n_edges, "clean_cycles": len(clean), "cycles": len(mine)}
-        if len(clean) >= 2:
-            best = min(w for c in clean for w in c["walls_sec"])
+        clean_walls: list[float] = []
+        contributing = set()
+        for c in mine:
+            for ss in c["supersteps"]:
+                if _superstep_clean(ss, cores):
+                    clean_walls.append(ss["wall_sec"])
+                    contributing.add(c["cycle"])
+        lvl: dict = {
+            "edges": n_edges,
+            "cycles": len(mine),
+            "clean_supersteps": len(clean_walls),
+            "clean_cycles": len(contributing),
+            "steal_frac_gate": STEAL_FRAC_CLEAN,
+            "kernel_user_ratio_gate": KERNEL_USER_RATIO_CLEAN,
+        }
+        if len(clean_walls) >= 3:
+            best = min(clean_walls)
             lvl["min_sec_per_superstep"] = round(best, 3)
             lvl["edges_per_sec"] = round(n_edges / best)
         else:
-            # hard refusal: no silent fallback to contaminated cycles
+            # hard refusal: no silent fallback to contaminated walls
             lvl["unmeasurable"] = True
             lvl["reason"] = (
-                f"only {len(clean)} clean cycles (need >=2); "
-                f"probes: {[ (c['probe_before_sec'], c['probe_after_sec'], c['mc_effective_cores_before'], c.get('cpu_during', {}).get('steal_pct')) for c in mine ]}"
+                f"only {len(clean_walls)} steal-clean supersteps "
+                f"(need >=3) across {len(mine)} cycles; per-superstep "
+                "steal fractions in detail file"
             )
         out[f"n{cores}"] = lvl
     out["host_probe_end"] = host_effective_cores(levels=(1,) + tuple(core_levels))
@@ -539,7 +705,7 @@ def run_scaling(
             out[f"efficiency_{n}_to_{n4}"] = None
             out[f"efficiency_{n}_to_{n4}_unmeasurable"] = (
                 f"level {'n%d' % n if 'edges_per_sec' not in lo else 'n%d' % n4} "
-                "had <2 clean cycles this window"
+                "had <3 steal-clean supersteps this window"
             )
             continue
         speedup = hi["edges_per_sec"] / lo["edges_per_sec"]
@@ -590,13 +756,16 @@ def _compact_scaling(scaling: dict, core_levels=(2, 8, 32)) -> dict:
             for k in (
                 "min_sec_per_superstep",
                 "edges_per_sec",
+                "clean_supersteps",
                 "clean_cycles",
                 "unmeasurable",
             )
             if k in lvl
         }
     for k, v in scaling.items():
-        if k.startswith("efficiency") or "ceiling_speedup" in k:
+        # raw + ceiling-normalized efficiencies; the ceiling speedups
+        # themselves live in the detail file (tail-capture budget)
+        if k.startswith("efficiency"):
             out[k] = v
     out["detail_file"] = os.path.basename(DETAIL_FILE)
     return out
@@ -642,6 +811,10 @@ def main() -> None:
         detail["scaling"] = scaling
         with open(DETAIL_FILE, "w") as fh:
             json.dump(detail, fh, indent=1)
+        try:
+            os.unlink(DETAIL_FILE + ".partial")
+        except OSError:
+            pass
         result["scaling"] = _compact_scaling(scaling)
     print(json.dumps(result))
 
