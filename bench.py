@@ -588,6 +588,8 @@ def run_scaling(
     share a single memory system; N→4N *executors* on a cluster
     multiply memory systems with cores)."""
     repeats = repeats or int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    budget_sec = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "2700"))
+    t_start = time.time()
     copies = int(os.environ.get("SPARK_GRAFT_SCALING_COPIES", "32"))
     # 8 tasks per core at the widest level: with only 2 waves one
     # straggler in a 32-thread single-JVM wave costs ~50% wall —
@@ -625,7 +627,16 @@ def run_scaling(
         if cycle_i >= 2 and all(_clean_count(c) >= 4 for c in core_levels):
             out["early_stop_after_cycles"] = cycle_i
             break
+        if "budget_exhausted_after_sec" in out:
+            break
         for cores in core_levels:
+            # wall-clock budget: a steal-stormy window can push every
+            # cycle toward the 900 s cap — stop starting new cycles and
+            # aggregate (or refuse) from what we have rather than
+            # holding the whole bench suite hostage
+            if time.time() - t_start > budget_sec:
+                out["budget_exhausted_after_sec"] = round(time.time() - t_start)
+                break
             probe_before = steal_probe()
             # multi-core contamination gate: single-core probes miss
             # multi-core throttling (burst quotas throttle aggregate
