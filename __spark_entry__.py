@@ -412,6 +412,27 @@ def _q_embedding_topk(spark, sf_dir):
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
 
 
+def _q_embedding_pairs(spark, sf_dir):
+    # pipeline.dedup embedding-cosine near-dup VERIFY kernel, exact
+    # variant (all pairs on a bounded slice — the LSH-bucketed path's
+    # per-bucket verify is this same expression; its pruning is
+    # separately gated by planted-pair + bucket-cap pytest). Gates
+    # the JVM higher-order-function cosine end-to-end vs DuckDB.
+    from aduana_spark.pipeline.similarity import _cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    as_double = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double("embedding").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double("embedding").alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(_cosine_expr(F.col("v_a"), F.col("v_b")), 4)
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.8)  # planted dups ~0.95+, noise <0.5
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_pagerank_orders(spark, sf_dir):
     # §2.10 PageRank over the bipartite customer→order graph, run to a
     # 1e-12 fixpoint so the converged ranks match the graph's closed
@@ -686,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "triangle_count": _q_triangle_count,
         "embedding_topk": _q_embedding_topk,
+        "embedding_pairs": _q_embedding_pairs,
         "pagerank_orders": _q_pagerank_orders,
         "hits_orders": _q_hits_orders,
         "minhash_candidates": _q_minhash_candidates,
@@ -921,6 +943,17 @@ def oracle_sql() -> dict[str, str]:
                    AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4)
+                   AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 200 AND b.vec_id < 200
+              AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 4) >= 0.8
+            ORDER BY id_a, id_b
         """,
         "pagerank_orders": """
             -- closed-form converged PageRank of the bipartite
