@@ -1,0 +1,97 @@
+"""Unit gates for the scaling-protocol helpers in bench.py (no Spark):
+superstep window attribution, the steal/kernel cleanliness gates, and
+the compact driver-line projection. These are the pieces whose silent
+breakage would invalidate the BASELINE.md scaling evidence."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def _ticks(user, system, steal, hz):
+    # [user nice system idle iowait irq softirq steal]
+    return [user * hz, 0, system * hz, 0, 0, 0, 0, steal * hz]
+
+
+def test_per_superstep_cpu_attribution():
+    hz = os.sysconf("SC_CLK_TCK")
+    # two supersteps of 10 s each ending at t=20; samples at 1 Hz with
+    # 1 busy core user in step 1 and 0.5 user + 0.5 steal in step 2
+    samples = []
+    for t in range(0, 11):
+        samples.append((float(t), _ticks(t, 0, 0, hz)))
+    for t in range(11, 21):
+        u = 10 + (t - 10) * 0.5
+        st = (t - 10) * 0.5
+        samples.append((float(t), _ticks(u, 0, st, hz)))
+    out = bench._per_superstep_cpu(samples, [10.0, 10.0], 20.0, cores=2)
+    assert len(out) == 2
+    assert abs(out[0]["user_cores"] - 1.0) < 0.05
+    assert out[0]["steal_cores"] < 0.01
+    assert abs(out[1]["steal_cores"] - 0.5) < 0.05
+    assert abs(out[1]["steal_frac_of_job"] - 0.25) < 0.03
+
+
+def test_per_superstep_cpu_sparse_samples():
+    # a window with <2 samples degrades to wall-only (no clean verdict)
+    out = bench._per_superstep_cpu([(0.0, None)], [5.0], 5.0, cores=2)
+    assert out == [{"wall_sec": 5.0}]
+    assert not bench._superstep_clean(out[0], 2)
+
+
+def test_superstep_clean_gates():
+    clean = {"wall_sec": 8.0, "user_cores": 7.3, "system_cores": 0.2,
+             "steal_frac_of_job": 0.001}
+    assert bench._superstep_clean(clean, 8)
+    stolen = dict(clean, steal_frac_of_job=0.08)
+    assert not bench._superstep_clean(stolen, 8)
+    # lock-holder-preemption signature: kernel-dominated, low steal
+    pathological = {"wall_sec": 26.9, "user_cores": 2.35,
+                    "system_cores": 5.08, "steal_frac_of_job": 0.005}
+    assert not bench._superstep_clean(pathological, 8)
+    # legit wide-level kernel share (tmpfs shuffle) stays clean
+    wide = {"wall_sec": 4.8, "user_cores": 21.7, "system_cores": 4.7,
+            "steal_frac_of_job": 0.0001}
+    assert bench._superstep_clean(wide, 32)
+
+
+def test_compact_scaling_fits_tail_capture():
+    scaling = {
+        "protocol": "pinned-affinity fresh-JVM per cycle, AQE off, "
+        "256 fixed shuffle partitions, min-of-clean-cycles",
+        "edges": 42909056,
+        "shuffle_partitions": 256,
+        "repeats": 3,
+        "supersteps_per_cycle": 6,
+        "best_probe_sec": 0.0181,
+        "best_mc_effective_cores": 30.29,
+        "cycles": [{"huge": "x" * 5000}],  # must NOT leak into compact
+        "host_probe_start": {"effective_cores_2": 2.0},
+        "host_probe_end": {"effective_cores_2": 2.0},
+        "n2": {"min_sec_per_superstep": 29.8, "edges_per_sec": 1439901,
+               "clean_supersteps": 8, "clean_cycles": 3},
+        "n8": {"min_sec_per_superstep": 8.02, "edges_per_sec": 5350256,
+               "clean_supersteps": 4, "clean_cycles": 3},
+        "n32": {"unmeasurable": True, "clean_supersteps": 1},
+        "efficiency_2_to_8": 0.929,
+        "efficiency_vs_host_ceiling_2_to_8": 0.918,
+        "efficiency_vs_membw_ceiling_2_to_8": 1.02,
+        "host_ceiling_speedup_2_to_8": 4.049,
+        "efficiency_8_to_32": None,
+        "efficiency_8_to_32_unmeasurable": "level n32 had <3 clean supersteps",
+    }
+    compact = bench._compact_scaling(scaling)
+    line = json.dumps(compact)
+    assert "cycles" not in compact and "host_probe_start" not in compact
+    assert compact["n2"]["min_sec_per_superstep"] == 29.8
+    assert compact["n32"]["unmeasurable"] is True
+    assert compact["efficiency_2_to_8"] == 0.929
+    # the driver's tail capture overflowed at ~2 KB in round 2; the
+    # whole result line (headline queries add ~700 B) must stay under
+    assert len(line) < 1300
