@@ -779,6 +779,10 @@ def _compact_scaling(scaling: dict, core_levels=(2, 8, 32)) -> dict:
         if k.startswith("efficiency"):
             out[k] = v
     out["detail_file"] = os.path.basename(DETAIL_FILE)
+    # clean-window builder measurement under the identical protocol
+    # (full per-superstep evidence committed in-repo) — relevant when
+    # this run's window is steal-stormy and levels come back refused
+    out["builder_evidence_file"] = "BENCH_BUILDER_r3.json"
     return out
 
 
