@@ -279,6 +279,13 @@ class BFScheduler(BFSchedulerView):
         super().__init__(spark, max_depth=max_depth, page_db=page_db)
         self.scorer = scorer
         self._pages_since_update = 0
+        # cumulative pages-added snapshot at the last score update —
+        # the reference's n_pages_old (bf_scheduler.c:539-548 keeps
+        # cumulative n_pages_new/n_pages_old counters; deriving n_old
+        # from the distinct crawled-page count undercounts when a
+        # batch RE-crawls existing pages, firing the 1%-growth gate
+        # too eagerly)
+        self._pages_added_total = 0
         self._last_update_time: float | None = None
 
     @classmethod
@@ -324,6 +331,7 @@ class BFScheduler(BFSchedulerView):
         n = batch.count()
         super().add(batch)
         self._pages_since_update += n
+        self._pages_added_total += n
 
     def maybe_update(self, now: float | None = None) -> bool:
         """The reference's update thread (bf_scheduler.c:537-549 +
@@ -338,10 +346,12 @@ class BFScheduler(BFSchedulerView):
         if self.update_interval is not None and self._last_update_time is not None:
             if now - self._last_update_time < self.update_interval:
                 return False
-        # crawled pages only (n_crawls > 0): page_info also holds
-        # uncrawled link-only rows the reference's gate never counts
-        n_crawled = self.page_info.where(F.col("n_crawls") > 0).count()
-        n_old = max(n_crawled - self._pages_since_update, 0)
+        # cumulative counters, mirroring the reference's
+        # n_pages_old = n_pages_new snapshot (bf_scheduler.c:539-548):
+        # n_old counts every page-add before the last update,
+        # recrawls included, so a batch that re-crawls existing pages
+        # does not shrink the base of the 1%-growth gate
+        n_old = self._pages_added_total - self._pages_since_update
         if not update_due(n_old, self._pages_since_update):
             return False
         self.update_scores()

@@ -180,7 +180,21 @@ class FreqSchedulerView:
     reference's 64-bit page hashes as schedule identities (same
     substitution as the rest of the engine; hashing is a Spark-side
     column, functions/urls.py).
+
+    **Scale boundary**: this facade materializes the whole freq table
+    into a driver-side dict — faithful to the reference's in-memory
+    LMDB schedule and right for its interactive single-crawler use,
+    but NOT the 10^12-row path. ``_load_table`` refuses above
+    ``max_facade_rows`` (default 1M, ~100 MB of driver heap); at
+    scale, call :func:`build_freq_table` + :func:`next_due_view`
+    directly — the fully distributed EDF top-n (one bounded
+    TakeOrdered job, no driver materialization), which is what
+    ``Backend``-style batch pipelines should use.
     """
+
+    #: refusal threshold for the driver-side schedule dict; raise it
+    #: deliberately if your driver heap allows, or use next_due_view
+    max_facade_rows: int = 1_000_000
 
     def __init__(self, spark, page_info: DataFrame | None = None):
         from aduana_spark.frontier.page_info import empty_page_info
@@ -222,6 +236,18 @@ class FreqSchedulerView:
     # ---- loading ---------------------------------------------------------
 
     def _load_table(self, freq_table: DataFrame) -> None:
+        # scale guard: collect at most max_facade_rows + 1 rows, so an
+        # accidental facade-at-scale use fails fast with a pointer to
+        # the distributed path instead of OOMing the driver
+        probe = freq_table.select("url").limit(self.max_facade_rows + 1).count()
+        if probe > self.max_facade_rows:
+            raise ValueError(
+                f"freq table exceeds max_facade_rows={self.max_facade_rows}: "
+                "FreqSchedulerView is the driver-side aduana-parity facade; "
+                "use build_freq_table() + next_due_view() (the distributed "
+                "EDF path) at this scale, or raise max_facade_rows if your "
+                "driver heap genuinely allows it"
+            )
         for r in freq_table.select("url", "freq").collect():
             if r["freq"] is not None and r["freq"] > 0:
                 self._schedule[r["url"]] = [0.0, float(r["freq"])]

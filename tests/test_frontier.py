@@ -367,6 +367,14 @@ def test_freq_load_simple_scale_semantics(spark):
     fs2 = FreqSchedulerView(spark, page_info=pi)
     fs2.load_simple(freq_default=0.25)
     assert fs2._schedule["https://a.com"][1] == pytest.approx(0.25)
+    # scale boundary: the facade's driver-side dict refuses above
+    # max_facade_rows with a pointer to the distributed next_due_view
+    # path — it must fail fast, not OOM the driver at 10^12 rows
+    fs3 = FreqSchedulerView(spark, page_info=pi)
+    fs3.max_facade_rows = 1  # table has 2 loadable pages
+    with pytest.raises(ValueError, match="next_due_view"):
+        fs3.load_simple(freq_default=0.01)
+    assert fs3._schedule == {}
 
 
 def test_freq_facade_margin_and_max_n_crawls(spark):
@@ -492,6 +500,28 @@ def test_maybe_update_counts_pages_not_batches(spark):
     assert sch._pages_since_update == 120
     assert sch.maybe_update() is True
     assert sch._pages_since_update == 0
+
+
+def test_maybe_update_recrawls_grow_the_base(spark):
+    """The 1%-growth base is the CUMULATIVE pages-added counter
+    (n_pages_old = n_pages_new snapshot, bf_scheduler.c:539-548), not
+    the distinct crawled-page count: a crawl that mostly RE-crawls
+    existing pages still grows the base, so 120 new pages against a
+    15000-add history must NOT trip the gate (needs >=150)."""
+    from aduana_spark.api import BFScheduler
+
+    sch = BFScheduler(spark)
+    # counter state after 15000 cumulative adds (recrawls included)
+    # followed by a 120-page batch — driving 150 real add() batches
+    # through Spark would test the same arithmetic at 1000x the cost
+    sch._pages_added_total = 15000
+    sch._pages_since_update = 120
+    assert sch.maybe_update() is False  # 120 < 1% of 14880
+    sch._pages_added_total = 15030
+    sch._pages_since_update = 150
+    assert sch.maybe_update() is True  # 150 >= 1% of 14880
+    assert sch._pages_since_update == 0
+    assert sch._pages_added_total == 15030  # cumulative never resets
 
 
 def test_frontier_topk_per_domain(spark):
