@@ -67,6 +67,12 @@ class SuperstepMetrics:
     wall_sec: float
     edges: int
     edges_per_sec: float
+    #: time.monotonic() at superstep end — lets external CPU samplers
+    #: (bench.py's per-superstep steal attribution) map samples onto
+    #: REAL superstep windows instead of reconstructing them
+    #: back-to-back from walls, which misattributes any non-superstep
+    #: tail work inside the loop
+    end_monotonic: float = 0.0
 
 
 @dataclass
@@ -248,7 +254,14 @@ def pagerank(
 
         wall = time.time() - t0
         metrics.append(
-            SuperstepMetrics(it, float(delta), wall, n_edges, n_edges / max(wall, 1e-9))
+            SuperstepMetrics(
+                it,
+                float(delta),
+                wall,
+                n_edges,
+                n_edges / max(wall, 1e-9),
+                end_monotonic=time.monotonic(),
+            )
         )
         converged = delta <= precision
 

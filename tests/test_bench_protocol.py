@@ -30,7 +30,7 @@ def test_per_superstep_cpu_attribution():
         u = 10 + (t - 10) * 0.5
         st = (t - 10) * 0.5
         samples.append((float(t), _ticks(u, 0, st, hz)))
-    out = bench._per_superstep_cpu(samples, [10.0, 10.0], 20.0, cores=2)
+    out = bench._per_superstep_cpu(samples, [(0.0, 10.0), (10.0, 20.0)], cores=2)
     assert len(out) == 2
     assert abs(out[0]["user_cores"] - 1.0) < 0.05
     assert out[0]["steal_cores"] < 0.01
@@ -40,7 +40,7 @@ def test_per_superstep_cpu_attribution():
 
 def test_per_superstep_cpu_sparse_samples():
     # a window with <2 samples degrades to wall-only (no clean verdict)
-    out = bench._per_superstep_cpu([(0.0, None)], [5.0], 5.0, cores=2)
+    out = bench._per_superstep_cpu([(0.0, None)], [(0.0, 5.0)], cores=2)
     assert out == [{"wall_sec": 5.0}]
     assert not bench._superstep_clean(out[0], 2)
 
@@ -64,34 +64,51 @@ def test_superstep_clean_gates():
 def test_compact_scaling_fits_tail_capture():
     scaling = {
         "protocol": "pinned-affinity fresh-JVM per cycle, AQE off, "
-        "256 fixed shuffle partitions, min-of-clean-cycles",
-        "edges": 42909056,
+        "256 fixed shuffle partitions, clean-window-gated cycles, "
+        "min-of-clean-supersteps",
+        "edges": 32181792,
         "shuffle_partitions": 256,
-        "repeats": 3,
-        "supersteps_per_cycle": 6,
+        "repeats": 4,
+        "supersteps_per_cycle": {"n2": 6, "n8": 8, "n4": 6, "n16": 8, "n32": 8},
         "best_probe_sec": 0.0181,
-        "best_mc_effective_cores": 30.29,
+        "best_window_eff_frac": 0.94,
         "cycles": [{"huge": "x" * 5000}],  # must NOT leak into compact
         "host_probe_start": {"effective_cores_2": 2.0},
         "host_probe_end": {"effective_cores_2": 2.0},
-        "n2": {"min_sec_per_superstep": 29.8, "edges_per_sec": 1439901,
+        "n2": {"min_sec_per_superstep": 22.3, "edges_per_sec": 1443129,
                "clean_supersteps": 8, "clean_cycles": 3},
-        "n8": {"min_sec_per_superstep": 8.02, "edges_per_sec": 5350256,
-               "clean_supersteps": 4, "clean_cycles": 3},
+        "n8": {"min_sec_per_superstep": 6.01, "edges_per_sec": 5354707,
+               "clean_supersteps": 6, "clean_cycles": 2},
+        "n4": {"min_sec_per_superstep": 11.6, "edges_per_sec": 2774292,
+               "clean_supersteps": 4, "clean_cycles": 2},
+        "n16": {"min_sec_per_superstep": 3.4, "edges_per_sec": 9465233,
+                "clean_supersteps": 5, "clean_cycles": 2},
         "n32": {"unmeasurable": True, "clean_supersteps": 1},
         "efficiency_2_to_8": 0.929,
         "efficiency_vs_host_ceiling_2_to_8": 0.918,
         "efficiency_vs_membw_ceiling_2_to_8": 1.02,
         "host_ceiling_speedup_2_to_8": 4.049,
+        "efficiency_4_to_16": 0.853,
+        "efficiency_vs_host_ceiling_4_to_16": 0.88,
         "efficiency_8_to_32": None,
         "efficiency_8_to_32_unmeasurable": "level n32 had <3 clean supersteps",
     }
     compact = bench._compact_scaling(scaling)
     line = json.dumps(compact)
     assert "cycles" not in compact and "host_probe_start" not in compact
-    assert compact["n2"]["min_sec_per_superstep"] == 29.8
+    assert "supersteps_per_cycle" not in compact  # detail-file material
+    assert compact["n2"]["min_sec_per_superstep"] == 22.3
+    assert compact["n16"]["edges_per_sec"] == 9465233
     assert compact["n32"]["unmeasurable"] is True
     assert compact["efficiency_2_to_8"] == 0.929
+    assert compact["efficiency_4_to_16"] == 0.853
     # the driver's tail capture overflowed at ~2 KB in round 2; the
     # whole result line (headline queries add ~700 B) must stay under
     assert len(line) < 1300
+
+
+def test_supersteps_and_clean_fracs_cover_all_levels():
+    for pair in bench.SCALING_PAIRS:
+        for c in pair:
+            assert c in bench.CLEAN_EFF_FRAC
+            assert bench._supersteps_for(c) > bench.WARMUP_SUPERSTEPS + 2
