@@ -1,17 +1,37 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY +
 typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step itself needs codec libraries that are not available
-in this environment; ``decoder='stub'`` raises NotImplementedError
-(clearly marked), ``decoder='fake'`` derives deterministic features
-from the bytes (xxhash-seeded) so the Spark-side plumbing — schema,
-batch shape, partitioning, UDF signature — is fully exercised and
-tested. Swapping in Pillow/librosa/pyav is a one-function change.
+Decoders, by fidelity:
+
+- ``decoder='real'`` — REAL decode for the formats the environment's
+  stdlib can express: PNG (zlib inflate + full filter-0..4 / Paeth
+  reconstruction, 8-bit gray/RGB/gray+A/RGBA) and WAV (PCM via
+  ``wave``), with real features (per-channel image stats / RMS, zero
+  crossings, FFT spectral centroid for audio). Rows whose codec the
+  environment cannot decode (mp4/jpeg/ogg need pyav/Pillow/libsnd,
+  absent here) yield ``feature = NULL`` instead of killing the job —
+  at 10^12 rows a corrupt or exotic blob is data, not an exception;
+  filter on ``feature IS NULL`` downstream.
+- ``decoder='fake'`` (default) — deterministic features derived from
+  the bytes: exercises the Spark-side plumbing (schema, Arrow batch
+  shape, partitioning, UDF signature) with zero codec dependencies.
+- ``decoder='stub'`` — raises NotImplementedError loudly: marks where
+  Pillow/librosa/pyav would plug in for the codecs stdlib cannot do.
+
+Scale note: the pure-Python PNG filter reconstruction is per-row
+sequential for filters 1/3/4 — correct, and fine at metadata/test
+scale, but a 100 TB image corpus would swap in a vectorized codec
+(Pillow-SIMD/pyav) behind the same ``mapInPandas`` signature; the
+plumbing (one Arrow batch in, one out, no shuffle) is the part that
+survives the swap.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -40,6 +60,244 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# ---- real codecs (stdlib-only: zlib for PNG, wave for PCM WAV) -------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (color types 0/2/4/6) to a
+    (H, W, C) uint8 array. Full filter reconstruction (None/Sub/Up/
+    Average/Paeth, RFC 2083 §6). Raises ValueError on non-PNG bytes
+    and NotImplementedError on PNG variants out of scope (16-bit,
+    palette, interlaced)."""
+    if len(content) < 8 or content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(content):
+        (ln,), typ = struct.unpack(">I", content[pos:pos + 4]), content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + CRC
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG variant out of scope (depth={depth}, "
+                    f"color_type={ctype}, interlace={interlace})"
+                )
+            hdr = (w, h, ctype)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ctype = hdr
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        p += 1
+        row = np.frombuffer(raw, np.uint8, stride, p).copy()
+        p += stride
+        if f == 1:  # Sub: left neighbor (per-pixel sequential along x)
+            for i in range(ch, stride):
+                row[i] = (int(row[i]) + int(row[i - ch])) & 0xFF
+        elif f == 2:  # Up: uint8 add wraps mod 256 by definition
+            row += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - ch]) if i >= ch else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, ch)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, row_filter: int = 0) -> bytes:
+    """Minimal PNG encoder for (H, W, C) uint8 arrays (C in 1/2/3/4).
+    ``row_filter`` applies the SAME filter to every scanline (0-4) —
+    mainly so tests can exercise every decode reconstruction path with
+    known pixels."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = arr.reshape(h, w * ch).astype(np.uint8)
+    stride = w * ch
+    lines = []
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        row = flat[y]
+        if row_filter == 0:
+            enc = row
+        elif row_filter == 1:
+            enc = row.copy()
+            enc[ch:] = (row[ch:].astype(np.int16) - row[:-ch]) & 0xFF
+        elif row_filter == 2:
+            enc = (row.astype(np.int16) - prev) & 0xFF
+        elif row_filter == 3:
+            enc = row.copy()
+            for i in range(stride):
+                left = int(row[i - ch]) if i >= ch else 0
+                enc[i] = (int(row[i]) - ((left + int(prev[i])) >> 1)) & 0xFF
+        elif row_filter == 4:
+            enc = row.copy()
+            for i in range(stride):
+                a = int(row[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (int(row[i]) - pred) & 0xFF
+        else:
+            raise ValueError("row_filter must be 0-4")
+        lines.append(bytes([row_filter]) + enc.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV via the stdlib ``wave`` module to
+    (samples float64 in [-1, 1], shape (n_frames, channels); rate)."""
+    with wave_open(content) as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width == 2:
+        pcm = np.frombuffer(frames, np.int16).astype(np.float64) / 32768.0
+    elif width == 1:
+        pcm = (np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM out of scope")
+    return pcm.reshape(-1, nch), rate
+
+
+def wave_open(content: bytes):
+    import wave
+
+    return wave.open(io.BytesIO(content), "rb")
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Encode float samples in [-1, 1] (1-D mono or (n, ch)) as a
+    16-bit PCM WAV."""
+    import wave
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) array — pure index
+    arithmetic, no codec dependency."""
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return arr[ys[:, None], xs[None, :]]
+
+
+def image_features(arr: np.ndarray, dim: int) -> np.ndarray:
+    """Real image features: dimensions + per-channel mean/std (0-1
+    scaled) + mean luminance, zero-padded/truncated to ``dim``."""
+    h, w = arr.shape[:2]
+    ch = arr.shape[2] if arr.ndim == 3 else 1
+    px = arr.reshape(h * w, ch).astype(np.float64) / 255.0
+    means = px.mean(axis=0)
+    stds = px.std(axis=0)
+    luma = means[:3].mean() if ch >= 3 else means[0]
+    feat = np.concatenate(
+        [[float(h), float(w), float(ch), float(luma)], means, stds]
+    )
+    out = np.zeros(dim, np.float32)
+    out[: min(dim, feat.size)] = feat[:dim]
+    return out
+
+
+def audio_features(pcm: np.ndarray, rate: int, dim: int) -> np.ndarray:
+    """Real audio features: duration, RMS, zero-crossing rate, FFT
+    spectral centroid (Hz / Nyquist) and peak amplitude of the mono
+    mix, zero-padded/truncated to ``dim``."""
+    mono = pcm.mean(axis=1)
+    n = mono.size
+    dur = n / float(rate)
+    rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0
+    peak = float(np.max(np.abs(mono))) if n else 0.0
+    centroid = 0.0
+    if n > 1:
+        seg = mono[: 1 << 16]  # bounded FFT cost per row
+        mag = np.abs(np.fft.rfft(seg))
+        freqs = np.fft.rfftfreq(seg.size, 1.0 / rate)
+        tot = float(mag.sum())
+        if tot > 0:
+            centroid = float((freqs * mag).sum() / tot / (rate / 2.0))
+    feat = np.array([dur, rms, zcr, centroid, peak])
+    out = np.zeros(dim, np.float32)
+    out[: min(dim, feat.size)] = feat[:dim]
+    return out
+
+
+def _real_decode(content: bytes, mime: str | None, dim: int) -> list | None:
+    """Dispatch to the stdlib-expressible codecs; None for codecs the
+    environment cannot decode (or corrupt payloads) — a 10^12-row job
+    treats those as data, not exceptions."""
+    try:
+        if content[:8] == _PNG_SIG:
+            return image_features(decode_png(content), dim).tolist()
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            pcm, rate = decode_wav(content)
+            return audio_features(pcm, rate, dim).tolist()
+    except Exception:
+        return None
+    return None  # mp4/jpeg/ogg/... need pyav/Pillow, absent here
+
+
 def _fake_decode(content: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a real decode+embed: features are a
     pure function of the bytes."""
@@ -53,21 +311,35 @@ def extract_media_features(
     media: DataFrame, dim: int = 16, decoder: str = "fake"
 ) -> DataFrame:
     """Feature extraction over a media table (MEDIA_SCHEMA). Arrow
-    batches; no shuffle. ``decoder='stub'`` marks where a real codec
-    plugs in."""
+    batches; no shuffle. ``decoder='real'`` decodes PNG/WAV with the
+    stdlib codecs above (NULL feature for codecs the environment
+    cannot decode); ``decoder='stub'`` raises where Pillow/librosa/
+    pyav would plug in; ``decoder='fake'`` is the deterministic
+    plumbing exerciser."""
+    if decoder not in ("real", "fake", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    has_mime = "mime" in media.columns
 
     def run(batches):
         for pdf in batches:
             if decoder == "stub":
                 raise NotImplementedError(
-                    "real media decoding requires codec libraries (Pillow/"
+                    "decoding this codec set requires libraries (Pillow/"
                     "librosa/pyav) not present in this environment; use "
-                    "decoder='fake' for deterministic plumbing tests"
+                    "decoder='real' for stdlib PNG/WAV or decoder='fake' "
+                    "for deterministic plumbing tests"
                 )
-            feats = [
-                _fake_decode(c, dim).tolist() if c is not None else None
-                for c in pdf["content"]
-            ]
+            if decoder == "real":
+                mimes = pdf["mime"] if has_mime else [None] * len(pdf)
+                feats = [
+                    _real_decode(c, m, dim) if c is not None else None
+                    for c, m in zip(pdf["content"], mimes)
+                ]
+            else:
+                feats = [
+                    _fake_decode(c, dim).tolist() if c is not None else None
+                    for c in pdf["content"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -77,7 +349,11 @@ def extract_media_features(
                 }
             )
 
-    cols = [c for c in ("media_id", "kind", "content") if c in media.columns]
+    cols = [
+        c
+        for c in ("media_id", "kind", "content", "mime")
+        if c in media.columns and (c != "mime" or decoder == "real")
+    ]
     return media.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

@@ -213,6 +213,105 @@ def test_multimodal_fake_decode(spark):
         extract_media_features(media, dim=8, decoder="stub").collect()
 
 
+def test_png_codec_roundtrip_all_filters():
+    """Pixel-exact PNG roundtrip through every scanline filter
+    (None/Sub/Up/Average/Paeth) and every supported channel count —
+    the encoder applies the filter forward, the decoder must invert
+    it (RFC 2083 §6 reference arithmetic)."""
+    import numpy as np
+
+    from aduana_spark.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (7, 13, 3), dtype=np.uint8)
+    for filt in range(5):
+        assert np.array_equal(decode_png(encode_png(arr, row_filter=filt)), arr)
+    for ch in (1, 2, 4):  # gray, gray+alpha, RGBA
+        a = rng.randint(0, 256, (5, 4, ch), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(a, row_filter=4)), a)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....not png")
+
+
+def test_wav_codec_and_audio_features():
+    """WAV PCM16 roundtrip + closed-form audio features of a 440 Hz
+    half-amplitude sine: duration exact, RMS = A/sqrt(2), zero
+    crossings = 2 f0 per second, spectral centroid at f0/Nyquist."""
+    import numpy as np
+
+    from aduana_spark.pipeline.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    rate, f0 = 8000, 440.0
+    t = np.arange(int(rate * 0.5)) / rate
+    sig = 0.5 * np.sin(2 * np.pi * f0 * t)
+    pcm, r = decode_wav(encode_wav_pcm16(sig, rate))
+    assert r == rate and pcm.shape == (4000, 1)
+    assert float(np.max(np.abs(pcm[:, 0] - sig))) < 1e-3
+    feat = audio_features(pcm, rate, dim=8)
+    assert abs(feat[0] - 0.5) < 1e-9  # duration s
+    assert abs(feat[1] - 0.5 / np.sqrt(2)) < 1e-3  # RMS
+    assert abs(feat[2] - 2 * f0 / rate) < 0.01  # zero-crossing rate
+    assert abs(feat[3] - f0 / (rate / 2)) < 0.02  # centroid / Nyquist
+    assert feat[5:].tolist() == [0.0, 0.0, 0.0]  # zero padding
+
+
+def test_resize_nearest_exact():
+    import numpy as np
+
+    from aduana_spark.pipeline.multimodal import resize_nearest
+
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    assert resize_nearest(arr, 2, 2)[..., 0].tolist() == [[0, 2], [8, 10]]
+    up = resize_nearest(arr, 8, 8)
+    assert up.shape == (8, 8, 1) and up[0, 0, 0] == 0 and up[7, 7, 0] == 15
+
+
+def test_multimodal_real_decode(spark):
+    """decoder='real' end-to-end through mapInPandas: PNG and WAV rows
+    get REAL decoded features (dimensions / duration from the actual
+    bytes), an mp4 row yields NULL feature instead of killing the job."""
+    import numpy as np
+
+    from aduana_spark.pipeline.multimodal import (
+        encode_png,
+        encode_wav_pcm16,
+        extract_media_features,
+    )
+
+    rng = np.random.RandomState(3)
+    png = encode_png(rng.randint(0, 256, (7, 13, 3), dtype=np.uint8))
+    wav = encode_wav_pcm16(
+        0.25 * np.sin(2 * np.pi * 220.0 * np.arange(4000) / 8000.0), 8000
+    )
+    rows = [
+        (0, "image", bytearray(png), "image/png", 13, 7, None),
+        (1, "audio", bytearray(wav), "audio/wav", None, None, 500),
+        (2, "video", b"\x00\x00\x00 ftypmp42", "video/mp4", 8, 8, 1000),
+        (3, "image", b"corrupt-png" + bytes(20), "image/png", 2, 2, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id LONG, kind STRING, content BINARY, mime STRING, "
+        "width INT, height INT, duration_ms LONG",
+    )
+    by_id = {
+        r["media_id"]: r
+        for r in extract_media_features(media, dim=8, decoder="real").collect()
+    }
+    img = by_id[0]["feature"]
+    assert img[0] == 7.0 and img[1] == 13.0 and img[2] == 3.0  # h, w, ch
+    aud = by_id[1]["feature"]
+    assert abs(aud[0] - 0.5) < 1e-6  # real decoded duration
+    assert abs(aud[1] - 0.25 / np.sqrt(2)) < 1e-3  # real RMS
+    assert by_id[2]["feature"] is None  # undecodable codec -> NULL
+    assert by_id[3]["feature"] is None  # corrupt payload -> NULL
+    assert by_id[2]["n_bytes"] == 12
+
+
 def test_ivf_topk_matches_brute_force_top1(spark, vectors):
     from aduana_spark.pipeline.similarity import ivf_topk, kmeans_centroids
 
