@@ -686,6 +686,48 @@ def _q_contamination(spark, sf_dir):
     return ngram_contamination(d, bench, n=8).orderBy("doc_id")
 
 
+def _q_media_decode(spark, sf_dir):
+    # REAL multimodal decode end-to-end (multimodal.py): synthesized
+    # constant-color PNGs (cycling all 5 row filters, so Sub/Up/
+    # Average/Paeth reconstruction all run) and square-wave PCM WAVs
+    # decoded by the stdlib codecs. Constant color → channel mean is
+    # exactly c/255 and std is exactly 0; square wave → RMS = peak =
+    # v/32768 exactly. Scaling those features back to integers makes
+    # every output column a closed-form function of doc_id alone, so
+    # DuckDB value-checks the decode without decoding PNG/WAV itself.
+    from aduana_spark.pipeline.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    feats = extract_media_features(synthesize_media(docs), dim=16, decoder="real")
+    f = F.col("feature")
+    is_img = F.col("kind") == "image"
+
+    def r(expr):
+        return F.round(expr).cast("long")
+
+    return feats.select(
+        "media_id",
+        "kind",
+        F.when(is_img, r(f[0])).alias("height"),
+        F.when(is_img, r(f[1])).alias("width"),
+        F.when(is_img, r(f[2])).alias("channels"),
+        F.when(is_img, r(f[4] * 255)).alias("mean_r"),
+        F.when(is_img, r(f[5] * 255)).alias("mean_g"),
+        F.when(is_img, r(f[6] * 255)).alias("mean_b"),
+        F.when(is_img, r(f[3] * 765)).alias("rgb_sum"),
+        # constant color → true std 0, but float summation of the
+        # non-dyadic mean leaves ~1e-17 residue: report the integer
+        # round(1000·Σstd) (0 when correct, O(100) on any pixel bug)
+        F.when(is_img, r((f[7] + f[8] + f[9]) * 1000)).alias("stds_milli"),
+        F.when(~is_img, r(f[0] * 1000)).alias("dur_ms"),
+        F.when(~is_img, r(f[1] * 32768)).alias("rms_i"),
+        F.when(~is_img, r(f[4] * 32768)).alias("peak_i"),
+    ).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "out_degree": _q_out_degree,
@@ -728,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
         "repetition": _q_repetition,
+        "media_decode": _q_media_decode,
     }
 
 
@@ -1168,6 +1211,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
               )
             ) ORDER BY doc_id
+        """,
+        "media_decode": """
+            -- closed-form expectations for the REAL PNG/WAV decode:
+            -- even ids are constant-color (r,g,b) PNGs of size
+            -- (3+id%4) x (4+id%5) — decoded channel mean is exactly
+            -- c/255 and std exactly 0; odd ids are square-wave PCM16
+            -- WAVs with int16 code v = 1000+500*(id%60) at 8 kHz for
+            -- 100+10*id ms — decoded RMS and peak are exactly v/32768.
+            -- DuckDB cannot decode PNG/WAV; it recomputes the integers
+            -- the decode must reproduce.
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+                     AS kind,
+                   CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 4 END AS height,
+                   CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 5 END AS width,
+                   CASE WHEN doc_id % 2 = 0 THEN 3 END AS channels,
+                   CASE WHEN doc_id % 2 = 0 THEN (37 * doc_id) % 256 END
+                     AS mean_r,
+                   CASE WHEN doc_id % 2 = 0 THEN (91 * doc_id) % 256 END
+                     AS mean_g,
+                   CASE WHEN doc_id % 2 = 0 THEN (53 * doc_id) % 256 END
+                     AS mean_b,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                     (37 * doc_id) % 256 + (91 * doc_id) % 256
+                     + (53 * doc_id) % 256 END AS rgb_sum,
+                   CASE WHEN doc_id % 2 = 0 THEN 0 END AS stds_milli,
+                   CASE WHEN doc_id % 2 = 1 THEN 100 + 10 * doc_id END
+                     AS dur_ms,
+                   CASE WHEN doc_id % 2 = 1 THEN 1000 + 500 * (doc_id % 60) END
+                     AS rms_i,
+                   CASE WHEN doc_id % 2 = 1 THEN 1000 + 500 * (doc_id % 60) END
+                     AS peak_i
+            FROM documents WHERE doc_id < 60 ORDER BY media_id
         """,
     }
 

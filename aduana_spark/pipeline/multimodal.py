@@ -371,3 +371,40 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         .select("media_id", F.explode(frames).alias("frame_idx"))
         .withColumn("ts_ms", F.col("frame_idx") * every_ms)
     )
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media corpus keyed by ``doc_id``: even ids become
+    constant-color RGB PNGs cycling through all five PNG row filters
+    (None/Sub/Up/Average/Paeth — so reading them back exercises every
+    reconstruction path in :func:`decode_png`), odd ids become
+    square-wave 16-bit PCM WAVs.
+
+    Every decoded feature is a closed-form integer function of the id
+    (constant color → channel mean = c/255 exactly, std = 0; square
+    wave → RMS = peak = v/32768 exactly), which lets an external SQL
+    oracle value-check the REAL decode path end-to-end without being
+    able to decode PNG/WAV itself (driver query ``media_decode``)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                if did % 2 == 0:
+                    h, w = 3 + did % 4, 4 + did % 5
+                    arr = np.zeros((h, w, 3), np.uint8)
+                    arr[:, :] = ((37 * did) % 256, (91 * did) % 256, (53 * did) % 256)
+                    content = encode_png(arr, row_filter=(did // 2) % 5)
+                    rows.append((did, "image", content, "image/png", w, h, None))
+                else:
+                    ms = 100 + 10 * did  # rate 8000 → n = 8·ms frames
+                    v = 1000 + 500 * (did % 60)  # exact int16 code
+                    sign = 1.0 - 2.0 * ((np.arange(8 * ms) // 8) % 2)
+                    content = encode_wav_pcm16(sign * (v / 32767.0), 8000)
+                    rows.append((did, "audio", content, "audio/wav", None, None, ms))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
