@@ -26,13 +26,19 @@ Spark execution per superstep (designed for ~10^12-edge tables):
   most one partial row per map partition; explicit salting
   (``salt_buckets``) additionally splits the reduce key for
   pathological hubs, as the north rule requires.
-- two Spark jobs per superstep: (1) the Σ value2 aggregate, which is
-  the only job that executes the E-row join (and materializes the
-  persisted candidate relation as a side effect); (2) the L∞ delta,
-  which re-scans the cached V-row candidate and materializes the
-  lazily local-checkpointed new state, truncating logical lineage
-  (without truncation Catalyst re-analyzes an exponentially
-  deepening self-join tree).
+- ONE Spark job per superstep on the uniform-teleport path: the
+  single aggregate that executes the E-row join also returns
+  (Σ value2, max d, min d) with d_i = raw_i − old_i, from which both
+  the remainder and the exact L∞ delta follow on the driver —
+  max_i |d_i + c| = max(|max d + c|, |min d + c|) because the
+  remainder term c = rem/N is one shared constant and fl(x+c) is
+  monotone in x. The new state is lazily local-checkpointed
+  (truncating logical lineage — without truncation Catalyst
+  re-analyzes an exponentially deepening self-join tree) and
+  materializes inside the NEXT superstep's job. The personalized
+  variant (per-row rem·score/total) does not decompose and keeps the
+  two-job superstep: E-join + Σ aggregate, then the L∞ delta scan
+  over the cached candidate.
 - every ``checkpoint_interval`` iterations the state is additionally
   written as a parquet shard + manifest (delta, wall, edges/sec),
   enabling durable mid-iteration resume.
@@ -110,8 +116,14 @@ def pagerank(
     salt_buckets: int | None = None,
     shuffle_partitions: int | Callable[[int, int], int] | None = None,
     strict: bool = False,
+    on_superstep: Callable[[SuperstepMetrics], None] | None = None,
 ) -> IterativeResult:
     """Compute PageRank over an ``(src LONG, dst LONG)`` edge table.
+
+    ``on_superstep``: optional progress hook invoked with each
+    superstep's :class:`SuperstepMetrics` as it completes — lets a
+    long job stream progress/evidence out instead of holding it until
+    convergence (a killed job keeps everything reported so far).
 
     ``scores``: optional (id, score) content scores → personalized
     teleport (page_rank.c:359-366); total falls back to 1.0 when the
@@ -191,6 +203,9 @@ def pagerank(
     metrics: list[SuperstepMetrics] = []
     converged = False
     it = start_iter
+    # fused path only: the previous superstep's cand must stay cached
+    # until its localCheckpoint materializes (this superstep's job)
+    prev_cand = None
     for it in range(start_iter + 1, start_iter + max_iters + 1):
         t0 = time.time()
         parts = _resolve_partitions(spark, shuffle_partitions, it, n_edges)
@@ -227,29 +242,59 @@ def pagerank(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # Job 1 (the only one touching the E-row join): materialize cand
-        # into the cache while collecting Σ value2 → rem
-        rem = 1.0 - (cand.agg(F.sum("raw")).first()[0] or 0.0)
         if scores is not None:
+            # personalized teleport: rem·score/total varies per row, so
+            # the L∞ delta needs the new ranks — two jobs per superstep.
+            # Job 1 (the only one touching the E-row join): materialize
+            # cand into the cache while collecting Σ value2 → rem
+            rem = 1.0 - (cand.agg(F.sum("raw")).first()[0] or 0.0)
             rem_term = F.lit(rem) * F.col("score") / F.lit(total_score)
+            new_state_full = cand.select(
+                "id",
+                "deg",
+                "score",
+                "old_rank",
+                (F.col("raw") + rem_term).alias("rank"),
+            )
+            # materialize + truncate logical lineage (without this,
+            # Catalyst re-analyzes an exponentially deepening self-join
+            # tree and superstep latency explodes around iteration ~15)
+            new_state_full = new_state_full.localCheckpoint(eager=False)
+            # Job 2: L∞ delta over the materialized rows (tiny)
+            delta = new_state_full.agg(
+                F.max(F.abs(F.col("rank") - F.col("old_rank")))
+            ).first()[0]
         else:
-            rem_term = F.lit(rem / float(n_vertices))
-        new_state_full = cand.select(
-            "id",
-            "deg",
-            "score",
-            "old_rank",
-            (F.col("raw") + rem_term).alias("rank"),
-        )
-        # Job 2: scan the cached cand once more, materialize + truncate
-        # logical lineage (without this, Catalyst re-analyzes an
-        # exponentially deepening self-join tree and superstep latency
-        # explodes around iteration ~15).
-        new_state_full = new_state_full.localCheckpoint(eager=False)
-        # Job 3: L∞ delta over the materialized rows (tiny)
-        delta = new_state_full.agg(
-            F.max(F.abs(F.col("rank") - F.col("old_rank")))
-        ).first()[0]
+            # uniform teleport: rank_i = raw_i + c with ONE shared
+            # constant c = rem/N, so with d_i = raw_i − old_i the L∞
+            # delta decomposes into pre-barrier aggregates:
+            #   max_i |d_i + c| = max(|max_i d_i + c|, |min_i d_i + c|)
+            # (fl(x+c) is monotone in x, so the float max over rows
+            # equals the endpoint evaluation). ONE Spark job per
+            # superstep returns Σraw/max d/min d; the new ranks are
+            # bit-identical to the two-job form — only the delta's
+            # association changes, by ≤1 ulp. The lazy localCheckpoint
+            # below materializes inside the NEXT superstep's (or the
+            # caller's) first action, so per-superstep work is
+            # unchanged in steady state while one whole job launch +
+            # V-row scan disappears per superstep.
+            agg = cand.agg(
+                F.sum("raw").alias("s"),
+                F.max(F.col("raw") - F.col("old_rank")).alias("dmax"),
+                F.min(F.col("raw") - F.col("old_rank")).alias("dmin"),
+            ).first()
+            rem = 1.0 - (agg["s"] or 0.0)
+            c = rem / float(n_vertices)
+            delta = max(
+                abs((agg["dmax"] or 0.0) + c), abs((agg["dmin"] or 0.0) + c)
+            )
+            new_state_full = cand.select(
+                "id",
+                "deg",
+                "score",
+                "old_rank",
+                (F.col("raw") + F.lit(c)).alias("rank"),
+            ).localCheckpoint(eager=False)
         new_state = new_state_full.select("id", "deg", "score", "rank")
 
         wall = time.time() - t0
@@ -263,6 +308,8 @@ def pagerank(
                 end_monotonic=time.monotonic(),
             )
         )
+        if on_superstep is not None:
+            on_superstep(metrics[-1])
         converged = delta <= precision
 
         do_ckpt = ckpt is not None and (
@@ -283,7 +330,17 @@ def pagerank(
                 },
             )
         cache.unpersist()
-        cand.unpersist()
+        if prev_cand is not None:
+            prev_cand.unpersist()
+        if scores is not None:
+            # two-job path: the delta job already materialized the
+            # checkpoint, so cand's blocks are no longer reachable
+            cand.unpersist()
+            prev_cand = None
+        else:
+            # fused path: cand backs the still-lazy localCheckpoint —
+            # drop it only after the next superstep materializes it
+            prev_cand = cand
         cache = new_state_full
         state = new_state
         if converged:
