@@ -422,7 +422,38 @@ def _cycle_main(argv: list[str]) -> None:
         t0 = time.time()
         edges = spark.read.parquet(edges_path)
         stat0 = _proc_stat()
-        res = pagerank(edges, precision=1e-6, max_iters=supersteps)
+
+        # stream per-superstep evidence to disk as it lands: a cycle
+        # the parent kills at the timeout still contributes its
+        # completed (possibly clean) supersteps instead of zero —
+        # in a storm burst the early supersteps are often the only
+        # usable samples the whole window produces
+        done: list = []
+
+        def _on_superstep(m) -> None:
+            done.append(m)
+            try:
+                with open(out_path + ".partial", "w") as fh:
+                    json.dump(
+                        {
+                            "cores": cores,
+                            "walls_sec": [round(x.wall_sec, 2) for x in done],
+                            "windows": [
+                                [x.end_monotonic - x.wall_sec, x.end_monotonic]
+                                for x in done
+                            ],
+                            "samples": [
+                                [tm, st] for tm, st in samples if st is not None
+                            ],
+                        },
+                        fh,
+                    )
+            except OSError:
+                pass
+
+        res = pagerank(
+            edges, precision=1e-6, max_iters=supersteps, on_superstep=_on_superstep
+        )
         stat1 = _proc_stat()
         stop_evt.set()
         thr.join(timeout=2)
@@ -481,6 +512,29 @@ def _per_superstep_cpu(
     return out
 
 
+def _salvage_partial_cycle(partial_path: str, cores: int, errname: str) -> dict:
+    """Build a cycle record from the child's streamed per-superstep
+    evidence after a timeout/crash; empty record if nothing usable."""
+    try:
+        with open(partial_path) as fh:
+            part = json.load(fh)
+        samples = [(tm, st) for tm, st in part.get("samples", [])]
+        windows = [tuple(w) for w in part.get("windows", [])]
+        return {
+            "cores": cores,
+            "failed": f"{errname}(partial {len(windows)} supersteps)",
+            "walls_sec": part.get("walls_sec", []),
+            "supersteps": _per_superstep_cpu(samples, windows, cores),
+        }
+    except (OSError, ValueError):
+        return {
+            "cores": cores,
+            "failed": errname,
+            "walls_sec": [],
+            "supersteps": [],
+        }
+
+
 def _run_pinned_cycle(
     cores: int, partitions: int, supersteps: int, edges_path: str,
     timeout_sec: int = 900,
@@ -515,14 +569,17 @@ def _run_pinned_cycle(
         with open(out_path) as fh:
             return json.load(fh)
     except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-        return {
-            "cores": cores,
-            "failed": type(e).__name__,
-            "walls_sec": [],
-            "supersteps": [],
-        }
+        # salvage the supersteps the child streamed out before the
+        # kill — their per-superstep steal/kernel gating still applies,
+        # so a storm-killed cycle contributes its clean prefix instead
+        # of nothing
+        return _salvage_partial_cycle(out_path + ".partial", cores, type(e).__name__)
     finally:
-        os.unlink(out_path)
+        for p in (out_path, out_path + ".partial"):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
 
 
 def _materialize_scaling_table(copies: int) -> tuple[str, int]:
@@ -900,14 +957,82 @@ def _compact_scaling(scaling: dict, core_levels=(2, 8, 4, 16, 32)) -> dict:
     return out
 
 
-def main() -> None:
-    t_all = time.time()
+def _headline_main(argv: list[str]) -> None:
+    """Child-process entry for the headline suite: ``spark.stop()``
+    does not end the py4j gateway JVM (it lives until the Python
+    process exits, retaining its full heap), so running the headline
+    in its own process guarantees the multi-GB headline JVM is gone —
+    not idling and periodically GC-ing — before the pinned scaling
+    cycles measure anything."""
+    out_path = argv[0]
     spark = _session(CPUS, shuffle_partitions=2 * CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         queries, queries_cpu = run_headline(spark)
     finally:
         spark.stop()
+    pr = globals().get("_PR_RESULT")
+    with open(out_path, "w") as fh:
+        json.dump(
+            {
+                "queries": queries,
+                "queries_cpu": queries_cpu,
+                "pagerank_edges": pr.n_edges if pr else None,
+                "pagerank_supersteps": pr.n_iterations if pr else None,
+                "pagerank_wall_sum": (
+                    sum(m.wall_sec for m in pr.metrics) if pr else None
+                ),
+            },
+            fh,
+        )
+
+
+def _run_headline_subprocess() -> tuple[dict, dict, dict]:
+    """Run the headline suite in a subprocess (JVM dies with it);
+    fall back to in-process if the child fails so a bench artifact is
+    always produced."""
+    import subprocess
+    import tempfile
+
+    fd, out_path = tempfile.mkstemp(suffix=".json")
+    os.close(fd)
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline", out_path],
+            check=True,
+        )
+        with open(out_path) as fh:
+            r = json.load(fh)
+        return r["queries"], r["queries_cpu"], r
+    except (subprocess.CalledProcessError, OSError, ValueError, KeyError):
+        spark = _session(CPUS, shuffle_partitions=2 * CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            queries, queries_cpu = run_headline(spark)
+        finally:
+            spark.stop()
+        pr = globals().get("_PR_RESULT")
+        return (
+            queries,
+            queries_cpu,
+            {
+                "pagerank_edges": pr.n_edges if pr else None,
+                "pagerank_supersteps": pr.n_iterations if pr else None,
+                "pagerank_wall_sum": (
+                    sum(m.wall_sec for m in pr.metrics) if pr else None
+                ),
+            },
+        )
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
+def main() -> None:
+    t_all = time.time()
+    queries, queries_cpu, prinfo = _run_headline_subprocess()
 
     scaling = None
     if not SKIP_SCALING:
@@ -918,7 +1043,6 @@ def main() -> None:
         # on a real cluster would not share.
         scaling = run_scaling()
 
-    pr = globals().get("_PR_RESULT")
     # per-query contamination flags (full split in the detail file):
     # steal during the query's own window, or a kernel-dominated
     # profile (lock-holder preemption), attributes a slow wall to the
@@ -939,13 +1063,15 @@ def main() -> None:
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "contaminated_queries": contaminated,
-        "pagerank_edges": pr.n_edges if pr else None,
-        "pagerank_supersteps": pr.n_iterations if pr else None,
+        "pagerank_edges": prinfo.get("pagerank_edges"),
+        "pagerank_supersteps": prinfo.get("pagerank_supersteps"),
         "pagerank_edges_per_superstep_sec": (
             round(
-                pr.n_edges * pr.n_iterations / sum(m.wall_sec for m in pr.metrics)
+                prinfo["pagerank_edges"]
+                * prinfo["pagerank_supersteps"]
+                / prinfo["pagerank_wall_sum"]
             )
-            if pr
+            if prinfo.get("pagerank_wall_sum")
             else None
         ),
     }
@@ -966,5 +1092,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--cycle":
         _cycle_main(sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--headline":
+        _headline_main(sys.argv[2:])
     else:
         main()

@@ -112,3 +112,45 @@ def test_supersteps_and_clean_fracs_cover_all_levels():
         for c in pair:
             assert c in bench.CLEAN_EFF_FRAC
             assert bench._supersteps_for(c) > bench.WARMUP_SUPERSTEPS + 2
+
+
+def test_salvage_partial_cycle(tmp_path):
+    # a storm-killed cycle must contribute the supersteps its child
+    # streamed out before the timeout, with per-superstep CPU intact
+    hz = os.sysconf("SC_CLK_TCK")
+    t0 = 100.0
+    # two 10 s supersteps; sampler ticks at start/end of each window
+    def stat(user, steal):
+        return [user, 0, 0, 0, 0, 0, 0, steal]
+
+    part = {
+        "cores": 2,
+        "walls_sec": [10.0, 10.0],
+        "windows": [[t0, t0 + 10.0], [t0 + 10.0, t0 + 20.0]],
+        "samples": [
+            [t0, stat(0, 0)],
+            [t0 + 10.0, stat(int(19 * hz), 0)],
+            [t0 + 20.0, stat(int(38 * hz), int(5 * hz))],
+        ],
+    }
+    p = tmp_path / "cyc.partial"
+    p.write_text(json.dumps(part))
+    r = bench._salvage_partial_cycle(str(p), 2, "TimeoutExpired")
+    assert r["failed"] == "TimeoutExpired(partial 2 supersteps)"
+    assert r["walls_sec"] == [10.0, 10.0]
+    assert len(r["supersteps"]) == 2
+    # superstep 1: 19 user-core-seconds over 10 s => 1.9 cores, clean
+    assert abs(r["supersteps"][0]["user_cores"] - 1.9) < 0.05
+    assert r["supersteps"][0]["steal_cores"] == 0.0
+    # superstep 2: 5 steal-core-seconds over 10 s => dirty at N=2
+    assert r["supersteps"][1]["steal_frac_of_job"] > bench.STEAL_FRAC_CLEAN
+    assert bench._superstep_clean(r["supersteps"][0], 2)
+    assert not bench._superstep_clean(r["supersteps"][1], 2)
+    # unreadable / absent partial degrades to the empty refusal record
+    r2 = bench._salvage_partial_cycle(str(tmp_path / "nope"), 2, "TimeoutExpired")
+    assert r2 == {
+        "cores": 2,
+        "failed": "TimeoutExpired",
+        "walls_sec": [],
+        "supersteps": [],
+    }
