@@ -109,7 +109,9 @@ def merge(paths: list[str]) -> dict:
             )
     out["cycles_provenance"] = provenance
 
-    for cores in sorted(levels | {c for p in bench.SCALING_PAIRS for c in p}):
+    for cores in sorted(
+        set(levels) | {c for p in bench.SCALING_PAIRS for c in p}
+    ):
         walls = levels.get(cores, [])
         lvl: dict = {
             "edges": n_edges,
