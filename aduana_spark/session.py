@@ -44,6 +44,11 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             pkg_parent + (os.pathsep + existing if existing else "")
         )
+    # effective driver heap: an extra_conf override must also drive the
+    # Xms/pre-touch options below (-Xms larger than -Xmx aborts the JVM)
+    driver_mem = (extra_conf or {}).get(
+        "spark.driver.memory", os.environ.get("ADUANA_DRIVER_MEM", "16g")
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -56,7 +61,21 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("ADUANA_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", driver_mem)
+        # Xms=Xmx: a growable G1 heap re-commits/uncommits regions for
+        # the life of the JVM; on virtualized hosts the resulting
+        # cross-CPU page-table/TLB kernel work stalls on descheduled
+        # vCPUs and can multiply iterative-job walls (A/B-measured on
+        # this repo's PageRank supersteps — see BENCH.md). Production
+        # executors pin Xms=Xmx for the same reason. Disable with
+        # ADUANA_JVM_PRETOUCH=0 (e.g. on memory-constrained dev
+        # machines where lazily-committed heap matters).
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem}"
+            if os.environ.get("ADUANA_JVM_PRETOUCH", "1") != "0"
+            else "",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

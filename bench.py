@@ -258,6 +258,32 @@ def _probe_once(mb: int = 24) -> float:
     return time.perf_counter() - t0
 
 
+def fault_probe(mb: int = 64) -> float:
+    """First-touch throughput of fresh anonymous memory, in MB/s.
+
+    This guest runs with virtio-balloon *free page reporting*: freed
+    guest pages are returned to the host, so re-allocating them
+    triggers a host-side fault for new backing. Under host memory
+    pressure each such fault costs ~0.5 ms — first-touch throughput
+    collapses from GB/s to ~5-10 MB/s while CPU spin probes and
+    already-touched memory stay full speed, and the victim workload
+    books the stall as guest *sys* time with zero steal (measured; see
+    BENCH.md root-cause section). Any workload that grows fresh
+    footprint (JVM heap commit, tmpfs shuffle churn) storms in that
+    regime, so this probe — not a CPU probe — is the gate for
+    "is it worth starting a JVM right now".
+    Quiet readings: 1-8 GB/s. Storm readings: < 100 MB/s."""
+    import numpy as np
+
+    n = mb * 1024 * 1024 // 8
+    t0 = time.perf_counter()
+    a = np.empty(n)
+    a[:: 512] = 1.0  # one write per 4 KiB page => fault every page
+    dt = time.perf_counter() - t0
+    del a
+    return mb / dt
+
+
 def steal_probe(rounds: int = 3) -> float:
     """min over a few probe rounds (the min is the machine's true
     single-core cost; anything above it is interference)."""
@@ -415,6 +441,23 @@ def _cycle_main(argv: list[str]) -> None:
             # defaultParallelism (parallelismFirst), which differs per
             # level — the physical plans would silently diverge
             "spark.sql.adaptive.enabled": "false",
+            # Pin Xms = Xmx. Root cause of the "superstep-3 storm"
+            # (A/B-confirmed, BENCH.md): with the default growable
+            # heap, G1's commit/uncommit churn after the first couple
+            # of supersteps drives guest-kernel cross-CPU
+            # page-table/TLB work that stalls on host-descheduled
+            # vCPUs — walls blow up 10-40x with sys >> user and ~zero
+            # booked steal. A fixed-size heap never grows or shrinks,
+            # so the mechanism is gone; first-touch faults are spread
+            # thinly and measured harmless (near-zero pgfault during
+            # storms). AlwaysPreTouch is deliberately NOT set: touching
+            # the full heap at startup is itself the biggest possible
+            # page-commit operation and timed out a 2-core cycle.
+            # Override with SPARK_GRAFT_CYCLE_JAVA_OPTS.
+            "spark.driver.extraJavaOptions": os.environ.get(
+                "SPARK_GRAFT_CYCLE_JAVA_OPTS",
+                "-Xms" + os.environ.get("ADUANA_DRIVER_MEM", "16g"),
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -584,8 +627,30 @@ def _run_pinned_cycle(
 
 def _materialize_scaling_table(copies: int) -> tuple[str, int]:
     """Write the inflated edge table once (full cores) so every cycle
-    at every level reads identical bytes."""
-    path = "/dev/shm/aduana_scaling_edges"
+    at every level reads identical bytes.
+
+    Reuses an existing table when a marker written after a *completed*
+    materialization matches (same copies + sf dir): on this host CPU
+    arrives as burst credits, and re-inflating the table at 32 threads
+    spends the very credits the pinned cycles need. The marker is only
+    written after a successful count, so a killed write never leaves a
+    reusable-looking partial table; pyarrow re-counts the footers
+    (cheap, no JVM) as a belt-and-braces check."""
+    path = os.environ.get(
+        "SPARK_GRAFT_SCALING_TABLE", "/dev/shm/aduana_scaling_edges"
+    )
+    marker = path + ".meta"
+    try:
+        with open(marker) as fh:
+            m = json.load(fh)
+        if m.get("copies") == copies and m.get("sf_dir") == SF_DIR:
+            import pyarrow.dataset as pads
+
+            n = pads.dataset(path, format="parquet").count_rows()
+            if n == m.get("n_edges"):
+                return path, n
+    except (OSError, ValueError, KeyError):
+        pass
     spark = _session(CPUS, shuffle_partitions=256)
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -593,6 +658,8 @@ def _materialize_scaling_table(copies: int) -> tuple[str, int]:
         n = spark.read.parquet(path).count()
     finally:
         spark.stop()
+    with open(marker, "w") as fh:
+        json.dump({"copies": copies, "sf_dir": SF_DIR, "n_edges": n}, fh)
     return path, n
 
 
