@@ -494,8 +494,13 @@ def _cycle_main(argv: list[str]) -> None:
             except OSError:
                 pass
 
+        # precision=0: run EXACTLY `supersteps` supersteps. The cycle
+        # measures per-superstep cost (identical message-passing work
+        # each iteration, converged or not); early convergence at 1e-6
+        # was silently capping long harvest cycles at ~7 supersteps,
+        # wasting the JVM's amortized heap-faulting on fewer samples.
         res = pagerank(
-            edges, precision=1e-6, max_iters=supersteps, on_superstep=_on_superstep
+            edges, precision=0.0, max_iters=supersteps, on_superstep=_on_superstep
         )
         stat1 = _proc_stat()
         stop_evt.set()
