@@ -78,6 +78,13 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # iterative jobs chain localCheckpoints (PageRank/HITS/CC/LP):
+        # each superstep's blocks are freed by ContextCleaner only
+        # after a JVM GC proves the old RDD unreachable, and a big heap
+        # can go 10s of minutes between collections — tighten the
+        # driver's periodic-GC floor so block cleanup keeps pace with
+        # superstep cadence instead of accumulating storage
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
