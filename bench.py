@@ -53,6 +53,7 @@ Set SPARK_GRAFT_SKIP_SCALING=1 to skip the scaling run (fast mode).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -674,17 +675,29 @@ WARMUP_SUPERSTEPS = 2
 
 # A superstep is an uncontaminated cost sample when (a) the host stole
 # <=3% of the job's pinned cores during its window (direct slowdown
-# bound) and (b) guest kernel time stayed under 0.4x user time. (b)
-# catches the second observed failure mode: kernel-dominated stalls
-# (lock-holder preemption / reclaim) that triple a wall while
-# accounted steal stays low. The ratio gate is scale-free because
-# legitimate kernel share (tmpfs shuffle memcpy) grows with core
-# count; measured healthy supersteps cluster at sys/user <= 0.35 at
-# every width (n2 0.03, n8 0.03, n32 0.22-0.35) and pathological
-# windows at >= 0.85 — 0.4 splits the clusters, it does not tune to
-# any particular sample.
+# bound) and (b) guest kernel time stayed under the width's kernel
+# gate. (b) catches the failure modes accounted steal misses:
+# kernel-dominated stalls (lock-holder preemption / reclaim) and the
+# fault-latency regime (host free-page reporting — BENCH.md round-4
+# root cause), both of which inflate walls while steal stays low.
+#
+# The kernel gate is PER WIDTH because the bias is asymmetric: an
+# inflated-wall sample admitted on the SLOW leg of an N→4N pair
+# *raises* measured efficiency (the round-2 overclaim mode), while on
+# the fast leg it can only lower it. Measured healthy clusters:
+# n2 0.03, n4 0.05-0.07, n8 0.03 (sys/user; legitimate tmpfs-shuffle
+# kernel share grows with width: n32 healthy 0.22-0.35), while
+# fault-regime samples cluster at >=0.32 even at n2 (walls ~25-30%
+# inflated vs the same table's healthy samples). Gates sit ~3-5x the
+# healthy ceiling and below the degraded cluster at the narrow widths
+# that serve as slow legs; the old flat 0.4 admitted 0.32-0.39
+# fault-regime n2 samples.
 STEAL_FRAC_CLEAN = 0.03
-KERNEL_USER_RATIO_CLEAN = 0.4
+KERNEL_USER_RATIO_CLEAN = {2: 0.15, 4: 0.2, 8: 0.25, 16: 0.45, 32: 0.45}
+
+
+def _kernel_gate(cores: int) -> float:
+    return KERNEL_USER_RATIO_CLEAN.get(cores, 0.45)
 
 
 def _superstep_clean(ss: dict, cores: int) -> bool:
@@ -692,8 +705,32 @@ def _superstep_clean(ss: dict, cores: int) -> bool:
         "steal_frac_of_job" in ss
         and ss["steal_frac_of_job"] <= STEAL_FRAC_CLEAN
         and ss.get("system_cores", float("inf"))
-        <= KERNEL_USER_RATIO_CLEAN * ss.get("user_cores", 0.0)
+        <= _kernel_gate(cores) * ss.get("user_cores", 0.0)
     )
+
+
+SUPERLINEAR_REFUSAL = 1.1
+
+
+def _pair_efficiency(
+    lo_eps: float, hi_eps: float, n: int, n4: int
+) -> tuple[float | None, str | None]:
+    """Efficiency of an N→4N pair with a superlinear refusal: on one
+    box, 4N pinned threads cannot genuinely exceed ideal ×4 scaling
+    by >10% (the levels share every cache level and the memory
+    system — there is no per-executor resource multiplication to go
+    superlinear on). An efficiency above 1.1 therefore means the slow
+    leg's 'clean' samples were wall-inflated by a regime the gates
+    missed; the pair is refused instead of reported as a vacuously
+    passing number."""
+    eff = round((hi_eps / lo_eps) / (n4 / n), 3)
+    if eff > SUPERLINEAR_REFUSAL:
+        return None, (
+            f"superlinear ({eff} > {SUPERLINEAR_REFUSAL}): slow-leg clean "
+            "samples likely wall-inflated by an undetected degraded "
+            "regime; refused"
+        )
+    return eff, None
 
 
 # N→4N pairs, in grading priority order: (2,8) is the cluster-analog
@@ -756,6 +793,105 @@ def _wait_clean_window(
                 "window_clean": False,
             }
         time.sleep(20)
+
+
+EVIDENCE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "scaling_evidence"
+)
+
+
+def _committed_windows(n_edges: int, partitions: int) -> list[tuple[str, dict]]:
+    """Committed scaling-evidence windows (suite `.partial` dumps and
+    `tools/cycle_harvester.py` harvests under `scaling_evidence/`)
+    that ran the IDENTICAL protocol instance: same pre-materialized
+    table (edge count) and same fixed shuffle layout. Windows with a
+    different table or layout are excluded, mirroring
+    `tools/merge_scaling_windows.py`'s refusal."""
+    wins: list[tuple[str, dict]] = []
+    for p in sorted(glob.glob(os.path.join(EVIDENCE_DIR, "*.json"))):
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        s = d.get("scaling") if isinstance(d.get("scaling"), dict) else d
+        if not isinstance(s, dict) or not s.get("cycles"):
+            continue
+        if (
+            s.get("edges") != n_edges
+            or s.get("shuffle_partitions") != partitions
+        ):
+            continue
+        wins.append((os.path.basename(p), s))
+    return wins
+
+
+def _merged_levels(
+    own_cycles: list[dict],
+    n_edges: int,
+    partitions: int,
+    levels: list[int],
+    pairs,
+) -> dict | None:
+    """Union of this window's clean supersteps with committed
+    evidence windows under the identical protocol. The per-superstep
+    gates (`_superstep_clean`) are what make supersteps from
+    different windows comparable: every cycle runs the same table,
+    same fixed partition layout, pinned fresh JVM, AQE off — the only
+    thing varying across windows is host contamination, which the
+    gates remove. Reported under clearly-labeled `merged` keys; the
+    single-window numbers remain the primary per-window signal."""
+    wins = _committed_windows(n_edges, partitions)
+    if not wins and not own_cycles:
+        return None
+    all_cycles: list[tuple[str, dict]] = [
+        ("<this window>", c) for c in own_cycles
+    ]
+    for name, s in wins:
+        all_cycles.extend((name, c) for c in s["cycles"])
+    merged: dict = {
+        "sources": ["<this window>"] + [name for name, _ in wins],
+        "note": (
+            "min over the union of steal-clean supersteps across this "
+            "window and committed scaling_evidence/ windows; identical "
+            "table/layout/pinning per cycle, per-superstep gates "
+            "identical to the single-window estimator "
+            "(tools/merge_scaling_windows.py documents the argument)"
+        ),
+    }
+    for cores in levels:
+        clean: list[float] = []
+        contributing: set[str] = set()
+        for name, c in all_cycles:
+            if c.get("cores") != cores:
+                continue
+            for ss in c.get("supersteps", []):
+                if _superstep_clean(ss, cores):
+                    clean.append(ss["wall_sec"])
+                    contributing.add(name)
+        lvl: dict = {
+            "clean_supersteps": len(clean),
+            "windows": sorted(contributing),
+        }
+        if len(clean) >= 3:
+            best = min(clean)
+            lvl["min_sec_per_superstep"] = round(best, 3)
+            lvl["edges_per_sec"] = round(n_edges / best)
+        else:
+            lvl["unmeasurable"] = True
+        merged[f"n{cores}"] = lvl
+    for n, n4 in pairs:
+        lo, hi = merged[f"n{n}"], merged[f"n{n4}"]
+        if "edges_per_sec" in lo and "edges_per_sec" in hi:
+            eff, reason = _pair_efficiency(
+                lo["edges_per_sec"], hi["edges_per_sec"], n, n4
+            )
+            merged[f"efficiency_{n}_to_{n4}"] = eff
+            if reason:
+                merged[f"efficiency_{n}_to_{n4}_unmeasurable"] = reason
+        else:
+            merged[f"efficiency_{n}_to_{n4}"] = None
+    return merged
 
 
 def run_scaling(pairs=SCALING_PAIRS, repeats: int | None = None) -> dict:
@@ -917,6 +1053,11 @@ def run_scaling(pairs=SCALING_PAIRS, repeats: int | None = None) -> dict:
         for n, n4 in pairs:
             out[f"efficiency_{n}_to_{n4}"] = None
             out[f"efficiency_{n}_to_{n4}_unmeasurable"] = out["reason"]
+        merged = _merged_levels(
+            [], n_edges, fixed_partitions, levels, pairs
+        )
+        if merged:
+            out["merged"] = merged
         return out
     best_probe = min(min(c["probe_before_sec"], c["probe_after_sec"]) for c in cycles)
     # best gate-probe reading as a fraction of the probed width (gate
@@ -952,7 +1093,7 @@ def run_scaling(pairs=SCALING_PAIRS, repeats: int | None = None) -> dict:
             "clean_supersteps": len(clean_walls),
             "clean_cycles": len(contributing),
             "steal_frac_gate": STEAL_FRAC_CLEAN,
-            "kernel_user_ratio_gate": KERNEL_USER_RATIO_CLEAN,
+            "kernel_user_ratio_gate": _kernel_gate(cores),
         }
         if len(clean_walls) >= 3:
             best = min(clean_walls)
@@ -979,7 +1120,12 @@ def run_scaling(pairs=SCALING_PAIRS, repeats: int | None = None) -> dict:
             )
             continue
         speedup = hi["edges_per_sec"] / lo["edges_per_sec"]
-        out[f"efficiency_{n}_to_{n4}"] = round(speedup / (n4 / n), 3)
+        eff, sl_reason = _pair_efficiency(
+            lo["edges_per_sec"], hi["edges_per_sec"], n, n4
+        )
+        out[f"efficiency_{n}_to_{n4}"] = eff
+        if sl_reason:
+            out[f"efficiency_{n}_to_{n4}_unmeasurable"] = sl_reason
         # host ceiling: the speedup the host itself expresses between the
         # two concurrency levels; of the start/end measurements take the
         # MORE generous one (higher ceiling → lower normalized efficiency,
@@ -998,6 +1144,9 @@ def run_scaling(pairs=SCALING_PAIRS, repeats: int | None = None) -> dict:
                 out[f"efficiency_vs_{tag}_ceiling_{n}_to_{n4}"] = round(
                     speedup / ceiling, 3
                 )
+    merged = _merged_levels(cycles, n_edges, fixed_partitions, levels, pairs)
+    if merged:
+        out["merged"] = merged
     return out
 
 
@@ -1032,6 +1181,21 @@ def _compact_scaling(scaling: dict, core_levels=(2, 8, 4, 16, 32)) -> dict:
         # themselves live in the detail file (tail-capture budget)
         if k.startswith("efficiency"):
             out[k] = v
+    m = scaling.get("merged")
+    if m:
+        # criterion numbers over this window ∪ committed evidence
+        # windows (identical protocol instance; provenance + note in
+        # the detail file / scaling_evidence/)
+        cm: dict = {
+            k: v for k, v in m.items() if k.startswith("efficiency")
+        }
+        cm["clean_supersteps"] = {
+            f"n{c}": m[f"n{c}"]["clean_supersteps"]
+            for c in core_levels
+            if f"n{c}" in m
+        }
+        cm["windows"] = len(m.get("sources", []))
+        out["merged"] = cm
     out["detail_file"] = os.path.basename(DETAIL_FILE)
     # clean-window builder measurements under the identical protocol
     # (full per-superstep evidence committed in-repo) — relevant when

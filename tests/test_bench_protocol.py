@@ -225,3 +225,76 @@ def test_harvester_counts_prior_clean_supersteps(tmp_path, monkeypatch):
     (tmp_path / "c.json").write_text(json.dumps({"scaling": win}))
     counts = ch.existing_clean_counts([2, 8, 4], 100)
     assert counts == {2: 4, 8: 0, 4: 0}
+
+
+def test_kernel_gate_is_width_aware():
+    # fault-latency-regime n2 signature (BENCH.md round-4 root cause):
+    # wall ~2x the healthy cost, steal near zero, sys/user 0.32-0.39 —
+    # slipped under the old flat 0.4 gate and, being on the SLOW leg,
+    # would inflate every N->4N efficiency computed from it
+    fault_n2 = {"wall_sec": 41.8, "user_cores": 1.39,
+                "system_cores": 0.54, "steal_frac_of_job": 0.003}
+    assert not bench._superstep_clean(fault_n2, 2)
+    # genuinely healthy narrow-width sample (measured cluster ~0.03-0.07)
+    healthy_n2 = {"wall_sec": 21.0, "user_cores": 1.9,
+                  "system_cores": 0.1, "steal_frac_of_job": 0.001}
+    assert bench._superstep_clean(healthy_n2, 2)
+    # legit wide-level tmpfs-shuffle kernel share stays admissible
+    healthy_n32 = {"wall_sec": 4.8, "user_cores": 21.7,
+                   "system_cores": 7.5, "steal_frac_of_job": 0.0001}
+    assert bench._superstep_clean(healthy_n32, 32)
+    # every slow-leg width has a strict (<0.3) gate
+    for n, _ in bench.SCALING_PAIRS:
+        assert bench._kernel_gate(n) < 0.3
+
+
+def test_pair_efficiency_superlinear_refusal():
+    eff, reason = bench._pair_efficiency(1000.0, 3716.0, 2, 8)
+    assert eff == 0.929 and reason is None
+    # slow leg wall-inflated 2x -> apparent efficiency 1.86: refused
+    eff, reason = bench._pair_efficiency(500.0, 3716.0, 2, 8)
+    assert eff is None and "superlinear" in reason
+    # mildly superlinear (measurement noise) passes through
+    eff, reason = bench._pair_efficiency(1000.0, 4200.0, 2, 8)
+    assert eff == 1.05 and reason is None
+
+
+def test_merged_levels_unions_committed_windows(tmp_path, monkeypatch):
+    """The driver-run artifact must report criterion numbers over the
+    union of its own clean supersteps and committed scaling_evidence/
+    windows of the IDENTICAL protocol instance (same table + layout),
+    with provenance."""
+    monkeypatch.setattr(bench, "EVIDENCE_DIR", str(tmp_path))
+
+    def ss(wall, cores):
+        return {"wall_sec": wall, "user_cores": cores * 0.95,
+                "system_cores": cores * 0.02, "steal_frac_of_job": 0.0}
+
+    committed = {
+        "edges": 1000, "shuffle_partitions": 256,
+        "cycles": [
+            {"cores": 2, "supersteps": [ss(20.0, 2), ss(21.0, 2)]},
+            {"cores": 8, "supersteps": [ss(5.5, 8), ss(5.6, 8), ss(5.4, 8)]},
+        ],
+    }
+    (tmp_path / "w1.json").write_text(json.dumps(committed))
+    # different table: must be excluded
+    (tmp_path / "w2.json").write_text(
+        json.dumps(dict(committed, edges=999)))
+    own = [{"cores": 2, "supersteps": [ss(19.8, 2)]}]
+    m = bench._merged_levels(own, 1000, 256, [2, 8], [(2, 8)])
+    assert m["n2"]["clean_supersteps"] == 3  # 2 committed + 1 own
+    assert m["n8"]["clean_supersteps"] == 3
+    assert "<this window>" in m["n2"]["windows"]
+    assert "w1.json" in m["n8"]["windows"]
+    # min over the union: n2 19.8 (own), n8 5.4
+    assert m["n2"]["min_sec_per_superstep"] == 19.8
+    assert m["n8"]["min_sec_per_superstep"] == 5.4
+    expected = round(
+        (m["n8"]["edges_per_sec"] / m["n2"]["edges_per_sec"]) / 4, 3
+    )
+    assert m["efficiency_2_to_8"] == expected
+    compact = bench._compact_scaling({"edges": 1000, "merged": m})
+    assert compact["merged"]["efficiency_2_to_8"] == m["efficiency_2_to_8"]
+    assert compact["merged"]["clean_supersteps"]["n2"] == 3
+    assert len(json.dumps(compact)) < 1300

@@ -117,7 +117,7 @@ def merge(paths: list[str]) -> dict:
             "edges": n_edges,
             "clean_supersteps": len(walls),
             "steal_frac_gate": bench.STEAL_FRAC_CLEAN,
-            "kernel_user_ratio_gate": bench.KERNEL_USER_RATIO_CLEAN,
+            "kernel_user_ratio_gate": bench._kernel_gate(cores),
         }
         if len(walls) >= 3:
             best = min(walls)
@@ -137,8 +137,12 @@ def merge(paths: list[str]) -> dict:
     for n, n4 in bench.SCALING_PAIRS:
         lo, hi = out.get(f"n{n}", {}), out.get(f"n{n4}", {})
         if "edges_per_sec" in lo and "edges_per_sec" in hi:
-            speedup = hi["edges_per_sec"] / lo["edges_per_sec"]
-            out[f"efficiency_{n}_to_{n4}"] = round(speedup / (n4 / n), 3)
+            eff, sl_reason = bench._pair_efficiency(
+                lo["edges_per_sec"], hi["edges_per_sec"], n, n4
+            )
+            out[f"efficiency_{n}_to_{n4}"] = eff
+            if sl_reason:
+                out[f"efficiency_{n}_to_{n4}_unmeasurable"] = sl_reason
             # conservative second estimator: medians of clean walls
             med = (lo["median_sec_per_superstep"] / hi["median_sec_per_superstep"]) / (
                 n4 / n
