@@ -5,7 +5,8 @@ builder-evidence file (BENCH_BUILDER_r{N}.json).
 Why: host steal on this VM arrives in multi-minute regimes — one
 2700 s suite window can refuse every level while a window an hour
 later is clean. The per-superstep gates (bench._superstep_clean:
-steal ≤ 3% of the job's pinned cores AND kernel ≤ 0.4×user) make
+steal ≤ 3% of the job's pinned cores AND kernel under the width-aware
+gate, bench.KERNEL_USER_RATIO_CLEAN) make
 clean supersteps from different windows directly comparable: every
 cycle runs the identical pre-materialized table, fixed 256-partition
 layout, pinned fresh JVM, AQE off — the only thing that varies across
