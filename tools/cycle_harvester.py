@@ -89,6 +89,13 @@ def main() -> None:
     )
     target = int(os.environ.get("HARVEST_TARGET", "4"))
     cooldown = float(os.environ.get("HARVEST_COOLDOWN", "300"))
+    # storm-probe cadence is a separate knob from the post-dirty-cycle
+    # cooldown: probing is nearly free (64 MiB first-touch, ~7 s even
+    # at 9 MB/s) while quiet bursts run single-digit minutes — a 240 s
+    # probe sleep can straddle and miss an entire burst, whereas the
+    # cooldown exists to let burst credits refill after ~450 s of
+    # pinned work was burned into a dirty cycle
+    probe_sec = float(os.environ.get("HARVEST_PROBE_SEC", "90"))
     levels = [
         int(x)
         for x in os.environ.get("HARVEST_LEVELS", "2,8,4,16").split(",")
@@ -149,10 +156,10 @@ def main() -> None:
         if fp < 400.0:
             print(
                 f"[harvester] fault probe {fp:.0f} MB/s (<400) — "
-                f"storm regime, sleeping {cooldown:.0f}s",
+                f"storm regime, re-probing in {probe_sec:.0f}s",
                 flush=True,
             )
-            time.sleep(min(cooldown, max(deadline - time.time(), 0)))
+            time.sleep(min(probe_sec, max(deadline - time.time(), 0)))
             continue
         if time.time() >= deadline:
             break
