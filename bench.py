@@ -438,6 +438,18 @@ def _cycle_main(argv: list[str]) -> None:
         shuffle_partitions=partitions,
         extra_conf={
             "spark.local.dir": "/dev/shm/spark-local",
+            # Free superseded superstep state at superstep cadence, not
+            # the 5 min engine default. Under the host's free-page
+            # reporting (BENCH.md second root cause) tmpfs pages freed
+            # tens of seconds ago are still host-mapped, so a superstep
+            # that reuses just-freed shuffle pages faults cheaply, while
+            # pages that sat freed for minutes (one big batched cleanup)
+            # have been reported/unmapped and every reallocation pays a
+            # host fault. Frequent cleanup converts the per-superstep
+            # tmpfs churn from always-fresh to mostly-recycled. The
+            # concurrent-GC flag below keeps the triggered collections
+            # from pausing the superstep.
+            "spark.cleaner.periodicGC.interval": "30s",
             # fixed layout across levels: AQE coalescing targets
             # defaultParallelism (parallelismFirst), which differs per
             # level — the physical plans would silently diverge
@@ -451,13 +463,30 @@ def _cycle_main(argv: list[str]) -> None:
             # booked steal. A fixed-size heap never grows or shrinks,
             # so the mechanism is gone; first-touch faults are spread
             # thinly and measured harmless (near-zero pgfault during
-            # storms). AlwaysPreTouch is deliberately NOT set: touching
-            # the full heap at startup is itself the biggest possible
-            # page-commit operation and timed out a 2-core cycle.
-            # Override with SPARK_GRAFT_CYCLE_JAVA_OPTS.
+            # storms). UseTransparentHugePages: measured in a confirmed
+            # fault-regime window, 4 KiB first-touch collapses to
+            # 5-6 MB/s while MADV_HUGEPAGE first-touch holds
+            # 168-366 MB/s (2 MiB faults, ~512x fewer host round
+            # trips) — with THP the heap commit is storm-resilient,
+            # which also makes AlwaysPreTouch affordable again (pay
+            # the whole commit once, inside the probe-gated window,
+            # instead of bleeding it into supersteps).
+            # ExplicitGCInvokesConcurrent keeps the 30 s periodic GC
+            # above from stop-the-world pausing a superstep.
+            # 8 GiB (not the 16 GiB facade default): plenty for the x24
+            # table at every width, and the one-time THP pre-touch of
+            # 8 GiB stays bounded (~seconds quiet, single-digit minutes
+            # in the deepest measured storm) where 16 GiB blew a whole
+            # cycle budget. Xms = Xmx = spark.driver.memory.
+            # Override with ADUANA_SCALING_MEM / SPARK_GRAFT_CYCLE_JAVA_OPTS.
+            "spark.driver.memory": os.environ.get(
+                "ADUANA_SCALING_MEM", "8g"
+            ),
             "spark.driver.extraJavaOptions": os.environ.get(
                 "SPARK_GRAFT_CYCLE_JAVA_OPTS",
-                "-Xms" + os.environ.get("ADUANA_DRIVER_MEM", "16g"),
+                "-Xms" + os.environ.get("ADUANA_SCALING_MEM", "8g")
+                + " -XX:+UseTransparentHugePages -XX:+AlwaysPreTouch"
+                + " -XX:+ExplicitGCInvokesConcurrent",
             ),
         },
     )

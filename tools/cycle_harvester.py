@@ -31,10 +31,16 @@ Usage:
   python3 tools/cycle_harvester.py [HOURS]
 
 Env:
-  HARVEST_HOURS    wall budget (default 3.0; argv[1] overrides)
-  HARVEST_TARGET   clean supersteps wanted per level (default 4)
-  HARVEST_COOLDOWN idle seconds after a dirty cycle (default 300)
-  HARVEST_LEVELS   comma list (default "2,8,4,16")
+  HARVEST_HOURS          wall budget (default 3.0; argv[1] overrides)
+  HARVEST_TARGET         clean supersteps wanted per level (default 4)
+  HARVEST_COOLDOWN       idle seconds after a dirty cycle (default 300)
+  HARVEST_LEVELS         comma list (default "2,8,4,16")
+  HARVEST_PROBE_SEC      storm re-probe cadence (default 90)
+  HARVEST_STORM_PATIENCE consecutive storm probes before spending a
+                         storm-boot cycle anyway (default 8; the THP
+                         pre-touched heap makes the boot affordable
+                         and the per-superstep gates still classify
+                         every sample)
 """
 
 from __future__ import annotations
@@ -96,6 +102,8 @@ def main() -> None:
     # cooldown exists to let burst credits refill after ~450 s of
     # pinned work was burned into a dirty cycle
     probe_sec = float(os.environ.get("HARVEST_PROBE_SEC", "90"))
+    patience = int(os.environ.get("HARVEST_STORM_PATIENCE", "8"))
+    storm_probes = 0
     levels = [
         int(x)
         for x in os.environ.get("HARVEST_LEVELS", "2,8,4,16").split(",")
@@ -107,10 +115,11 @@ def main() -> None:
     # pre-touched 8 GiB heap — big enough for the x24 table's shuffle
     # at every harvested width, small enough that the one-time
     # pre-touch stays cheap even in a moderately degraded window
-    os.environ.setdefault("ADUANA_DRIVER_MEM", "8g")
-    os.environ.setdefault(
-        "SPARK_GRAFT_CYCLE_JAVA_OPTS", "-Xms8g -XX:+AlwaysPreTouch"
-    )
+    # cycle-JVM memory policy lives in bench._run_pinned_cycle now:
+    # 8 GiB Xms=Xmx THP heap, AlwaysPreTouch, concurrent explicit GC,
+    # 30 s periodic cleaner (see the rationale on bench.py's cycle
+    # extra_conf) — override via ADUANA_SCALING_MEM /
+    # SPARK_GRAFT_CYCLE_JAVA_OPTS
     edges_path, n_edges = bench._materialize_scaling_table(COPIES)
     out_path = os.path.join(
         EVIDENCE_DIR, time.strftime("r4_harvest_%m%d_%H%M.json")
@@ -154,13 +163,32 @@ def main() -> None:
         fp = bench.fault_probe()
         gate["fault_probe_mb_s"] = round(fp, 1)
         if fp < 400.0:
+            storm_probes += 1
+            # Storm patience: waiting out the regime is the cheap
+            # default, but a THP pre-touched 8 GiB heap commits in
+            # single-digit minutes even in the deepest measured storm,
+            # and once committed the 30 s cleaner recycles shuffle
+            # pages warm — a storm-boot n2 cycle measured 3 clean
+            # supersteps (sys/user ~0.04) inside a 3-5 MB/s regime.
+            # So after `patience` consecutive storm probes, spend one
+            # cycle anyway; the per-superstep gates still classify
+            # every sample, so a failed bet wastes time, not evidence.
+            if storm_probes < patience:
+                print(
+                    f"[harvester] fault probe {fp:.0f} MB/s (<400) — "
+                    f"storm regime {storm_probes}/{patience}, "
+                    f"re-probing in {probe_sec:.0f}s",
+                    flush=True,
+                )
+                time.sleep(min(probe_sec, max(deadline - time.time(), 0)))
+                continue
             print(
-                f"[harvester] fault probe {fp:.0f} MB/s (<400) — "
-                f"storm regime, re-probing in {probe_sec:.0f}s",
+                f"[harvester] fault probe {fp:.0f} MB/s but "
+                f"{storm_probes} consecutive storm probes — "
+                "storm-boot cycle (THP heap pays the commit up front)",
                 flush=True,
             )
-            time.sleep(min(probe_sec, max(deadline - time.time(), 0)))
-            continue
+        storm_probes = 0
         if time.time() >= deadline:
             break
         t0 = time.strftime("%H:%M:%S")
