@@ -41,6 +41,11 @@ Env:
                          pre-touched heap makes the boot affordable
                          and the per-superstep gates still classify
                          every sample)
+  HARVEST_PAIR_CYCLE_CAP per-leg cycle budget (this run) for a pair
+                         whose merged efficiency stays under 0.8
+                         (default 5) — legs alternate by
+                         clean-superstep depth until the pair clears
+                         the bar, is capped, or the wall budget ends
 """
 
 from __future__ import annotations
@@ -141,18 +146,52 @@ def main() -> None:
     done_counts = existing_clean_counts(levels, n_edges)
     print(f"[harvester] prior clean counts: {done_counts}", flush=True)
     cycle_i = 0
-    # criterion pair first: (4,16) only becomes eligible once both
-    # (2,8) legs hit the target
+    # per-pair cycle cap: a pair stuck under the bar stops consuming
+    # the budget after this many harvested cycles per leg (this run)
+    pair_cap = int(os.environ.get("HARVEST_PAIR_CYCLE_CAP", "5"))
+    spent = {c: 0 for c in levels}
+
+    def _merged_eff(pair):
+        m = bench._merged_levels(
+            [], n_edges, PARTITIONS, list(pair), [pair]
+        )
+        return (m or {}).get(f"efficiency_{pair[0]}_to_{pair[1]}")
+
+    def _pair_needy(pair):
+        """Which leg of the pair to run next, or None if the pair is
+        settled. A pair stays active until its min-estimator merged
+        efficiency is measurable AND >= 0.8 (or the per-leg cycle cap
+        is hit); legs alternate by clean-superstep depth so both legs
+        get equal usable sampling — deepening only the fast leg would
+        bias the min estimator."""
+        a, b = pair
+        if not (a in levels and b in levels):
+            return None
+        under_target = [
+            c for c in pair if done_counts.get(c, 0) < target
+        ]
+        if under_target:
+            return min(under_target, key=lambda c: done_counts.get(c, 0))
+        eff = _merged_eff(pair)
+        if eff is not None and eff >= 0.8:
+            return None
+        candidates = [c for c in pair if spent[c] < pair_cap]
+        if not candidates:
+            return None
+        return min(candidates, key=lambda c: done_counts.get(c, 0))
+
+    # criterion pair first: (4,16) only becomes eligible once (2,8)
+    # is settled (efficiency measurable and >= 0.8, or capped out)
     while time.time() < deadline:
-        pair_a = [c for c in levels if c in (2, 8)]
-        pair_b = [c for c in levels if c in (4, 16)]
-        needy = [c for c in pair_a if done_counts.get(c, 0) < target]
-        if not needy and all(done_counts.get(c, 0) >= target for c in pair_a):
-            needy = [c for c in pair_b if done_counts.get(c, 0) < target]
-        if not needy:
-            print("[harvester] all targets met", flush=True)
+        cores = _pair_needy((2, 8)) or _pair_needy((4, 16))
+        if cores is None:
+            print(
+                f"[harvester] all pairs settled: "
+                f"eff_2_8={_merged_eff((2, 8))} "
+                f"eff_4_16={_merged_eff((4, 16))}",
+                flush=True,
+            )
             break
-        cores = min(needy, key=lambda c: done_counts.get(c, 0))
         gate = bench._wait_clean_window(
             cores, min(600.0, deadline - time.time()), deadline
         )
@@ -208,6 +247,7 @@ def main() -> None:
             1 for ss in supersteps if bench._superstep_clean(ss, cores)
         )
         done_counts[cores] = done_counts.get(cores, 0) + clean
+        spent[cores] = spent.get(cores, 0) + 1
         window["cycles"].append(
             {
                 "cycle": cycle_i,
