@@ -173,7 +173,17 @@ def main() -> None:
         if under_target:
             return min(under_target, key=lambda c: done_counts.get(c, 0))
         eff = _merged_eff(pair)
-        if eff is not None and eff >= 0.8:
+        if eff is not None and 0.8 <= eff <= 1.0:
+            return None
+        if eff is not None and eff > 1.0:
+            # pinned threads on one box cannot truly beat ideal x4:
+            # eff > 1 means the SLOW leg's quiet floor is unfound
+            # (its min comes from a worse regime than the fast leg's
+            # best window). Re-sample the slow leg until the estimate
+            # drops back to truth — its min can only fall, so this is
+            # self-correcting, never inflating.
+            if spent[a] < pair_cap:
+                return a
             return None
         candidates = [c for c in pair if spent[c] < pair_cap]
         if not candidates:
