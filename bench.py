@@ -762,6 +762,25 @@ def _pair_efficiency(
     return eff, None
 
 
+def _pair_note(eff: float | None) -> str | None:
+    """Annotation for efficiencies in (1.0, SUPERLINEAR_REFUSAL]:
+    physically the ratio cannot exceed 1.0 on one box, so a reading
+    there means the SLOW leg's quiet floor is unfound — its min comes
+    from a worse host regime than the fast leg's best window (the
+    harvester re-samples the slow leg until the estimator returns to
+    <=1.0, which can only lower it). Reported, not refused: the
+    reading is evidence the true ratio is high, biased only by the
+    missing slow-leg floor."""
+    if eff is not None and eff > 1.0:
+        return (
+            "min-estimator > 1.0 is impossible for pinned same-box "
+            "threads: slow-leg quiet floor unfound (regime asymmetry "
+            "between legs' best windows); true ratio <= 1.0, lowered "
+            "only by further slow-leg sampling"
+        )
+    return None
+
+
 # N→4N pairs, in grading priority order: (2,8) is the cluster-analog
 # criterion pair; (4,16) is the same ×4 ratio at half the memory
 # pressure (second data point for the "32 threads share one socket's
@@ -918,6 +937,9 @@ def _merged_levels(
             merged[f"efficiency_{n}_to_{n4}"] = eff
             if reason:
                 merged[f"efficiency_{n}_to_{n4}_unmeasurable"] = reason
+            note = _pair_note(eff)
+            if note:
+                merged[f"efficiency_{n}_to_{n4}_note"] = note
         else:
             merged[f"efficiency_{n}_to_{n4}"] = None
     return merged
@@ -1155,6 +1177,9 @@ def run_scaling(pairs=SCALING_PAIRS, repeats: int | None = None) -> dict:
         out[f"efficiency_{n}_to_{n4}"] = eff
         if sl_reason:
             out[f"efficiency_{n}_to_{n4}_unmeasurable"] = sl_reason
+        note = _pair_note(eff)
+        if note:
+            out[f"efficiency_{n}_to_{n4}_note"] = note
         # host ceiling: the speedup the host itself expresses between the
         # two concurrency levels; of the start/end measurements take the
         # MORE generous one (higher ceiling → lower normalized efficiency,

@@ -254,9 +254,14 @@ def test_pair_efficiency_superlinear_refusal():
     # slow leg wall-inflated 2x -> apparent efficiency 1.86: refused
     eff, reason = bench._pair_efficiency(500.0, 3716.0, 2, 8)
     assert eff is None and "superlinear" in reason
-    # mildly superlinear (measurement noise) passes through
+    # mildly superlinear (measurement noise) passes through...
     eff, reason = bench._pair_efficiency(1000.0, 4200.0, 2, 8)
     assert eff == 1.05 and reason is None
+    # ...but carries the slow-leg-floor-unfound annotation, while a
+    # physically possible reading does not
+    assert "slow-leg" in bench._pair_note(1.05)
+    assert bench._pair_note(0.93) is None
+    assert bench._pair_note(None) is None
 
 
 def test_merged_levels_unions_committed_windows(tmp_path, monkeypatch):

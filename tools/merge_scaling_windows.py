@@ -144,6 +144,9 @@ def merge(paths: list[str]) -> dict:
             out[f"efficiency_{n}_to_{n4}"] = eff
             if sl_reason:
                 out[f"efficiency_{n}_to_{n4}_unmeasurable"] = sl_reason
+            note = bench._pair_note(eff)
+            if note:
+                out[f"efficiency_{n}_to_{n4}_note"] = note
             # conservative second estimator: medians of clean walls
             med = (lo["median_sec_per_superstep"] / hi["median_sec_per_superstep"]) / (
                 n4 / n
