@@ -705,26 +705,33 @@ def _q_media_decode(spark, sf_dir):
     f = F.col("feature")
     is_img = F.col("kind") == "image"
 
-    def r(expr):
-        return F.round(expr).cast("long")
+    # -1 sentinel for not-applicable kind/column pairs instead of
+    # NULL: the driver's comparator sorts row tuples in Python, and
+    # None is unorderable against int — a NULL-bearing result errors
+    # the comparison rather than failing it.
+    def img(expr):
+        return F.when(is_img, F.round(expr).cast("long")).otherwise(F.lit(-1))
+
+    def aud(expr):
+        return F.when(~is_img, F.round(expr).cast("long")).otherwise(F.lit(-1))
 
     return feats.select(
         "media_id",
         "kind",
-        F.when(is_img, r(f[0])).alias("height"),
-        F.when(is_img, r(f[1])).alias("width"),
-        F.when(is_img, r(f[2])).alias("channels"),
-        F.when(is_img, r(f[4] * 255)).alias("mean_r"),
-        F.when(is_img, r(f[5] * 255)).alias("mean_g"),
-        F.when(is_img, r(f[6] * 255)).alias("mean_b"),
-        F.when(is_img, r(f[3] * 765)).alias("rgb_sum"),
+        img(f[0]).alias("height"),
+        img(f[1]).alias("width"),
+        img(f[2]).alias("channels"),
+        img(f[4] * 255).alias("mean_r"),
+        img(f[5] * 255).alias("mean_g"),
+        img(f[6] * 255).alias("mean_b"),
+        img(f[3] * 765).alias("rgb_sum"),
         # constant color → true std 0, but float summation of the
         # non-dyadic mean leaves ~1e-17 residue: report the integer
         # round(1000·Σstd) (0 when correct, O(100) on any pixel bug)
-        F.when(is_img, r((f[7] + f[8] + f[9]) * 1000)).alias("stds_milli"),
-        F.when(~is_img, r(f[0] * 1000)).alias("dur_ms"),
-        F.when(~is_img, r(f[1] * 32768)).alias("rms_i"),
-        F.when(~is_img, r(f[4] * 32768)).alias("peak_i"),
+        img((f[7] + f[8] + f[9]) * 1000).alias("stds_milli"),
+        aud(f[0] * 1000).alias("dur_ms"),
+        aud(f[1] * 32768).alias("rms_i"),
+        aud(f[4] * 32768).alias("peak_i"),
     ).orderBy("media_id")
 
 
@@ -1220,29 +1227,33 @@ def oracle_sql() -> dict[str, str]:
             -- WAVs with int16 code v = 1000+500*(id%60) at 8 kHz for
             -- 100+10*id ms — decoded RMS and peak are exactly v/32768.
             -- DuckDB cannot decode PNG/WAV; it recomputes the integers
-            -- the decode must reproduce.
+            -- the decode must reproduce. -1 sentinel (not NULL) for
+            -- not-applicable kind/column pairs — the comparator sorts
+            -- row tuples in Python where None is unorderable.
             SELECT doc_id AS media_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
                      AS kind,
-                   CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 4 END AS height,
-                   CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 5 END AS width,
-                   CASE WHEN doc_id % 2 = 0 THEN 3 END AS channels,
-                   CASE WHEN doc_id % 2 = 0 THEN (37 * doc_id) % 256 END
-                     AS mean_r,
-                   CASE WHEN doc_id % 2 = 0 THEN (91 * doc_id) % 256 END
-                     AS mean_g,
-                   CASE WHEN doc_id % 2 = 0 THEN (53 * doc_id) % 256 END
-                     AS mean_b,
+                   CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 4 ELSE -1 END
+                     AS height,
+                   CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 5 ELSE -1 END
+                     AS width,
+                   CASE WHEN doc_id % 2 = 0 THEN 3 ELSE -1 END AS channels,
+                   CASE WHEN doc_id % 2 = 0 THEN (37 * doc_id) % 256 ELSE -1
+                     END AS mean_r,
+                   CASE WHEN doc_id % 2 = 0 THEN (91 * doc_id) % 256 ELSE -1
+                     END AS mean_g,
+                   CASE WHEN doc_id % 2 = 0 THEN (53 * doc_id) % 256 ELSE -1
+                     END AS mean_b,
                    CASE WHEN doc_id % 2 = 0 THEN
                      (37 * doc_id) % 256 + (91 * doc_id) % 256
-                     + (53 * doc_id) % 256 END AS rgb_sum,
-                   CASE WHEN doc_id % 2 = 0 THEN 0 END AS stds_milli,
-                   CASE WHEN doc_id % 2 = 1 THEN 100 + 10 * doc_id END
+                     + (53 * doc_id) % 256 ELSE -1 END AS rgb_sum,
+                   CASE WHEN doc_id % 2 = 0 THEN 0 ELSE -1 END AS stds_milli,
+                   CASE WHEN doc_id % 2 = 1 THEN 100 + 10 * doc_id ELSE -1 END
                      AS dur_ms,
-                   CASE WHEN doc_id % 2 = 1 THEN 1000 + 500 * (doc_id % 60) END
-                     AS rms_i,
-                   CASE WHEN doc_id % 2 = 1 THEN 1000 + 500 * (doc_id % 60) END
-                     AS peak_i
+                   CASE WHEN doc_id % 2 = 1 THEN 1000 + 500 * (doc_id % 60)
+                     ELSE -1 END AS rms_i,
+                   CASE WHEN doc_id % 2 = 1 THEN 1000 + 500 * (doc_id % 60)
+                     ELSE -1 END AS peak_i
             FROM documents WHERE doc_id < 60 ORDER BY media_id
         """,
     }
