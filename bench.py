@@ -1204,7 +1204,9 @@ def run_scaling(pairs=SCALING_PAIRS, repeats: int | None = None) -> dict:
     return out
 
 
-DETAIL_FILE = os.path.join(
+# Ad-hoc/smoke runs can point the detail artifact elsewhere so they
+# don't clobber the curated round evidence next to this file.
+DETAIL_FILE = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_r4.json"
 )
 
