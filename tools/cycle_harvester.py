@@ -46,6 +46,13 @@ Env:
                          (default 5) — legs alternate by
                          clean-superstep depth until the pair clears
                          the bar, is capped, or the wall budget ends
+  HARVEST_FORCE_LEVEL    hunt ONE level (e.g. 32) instead of the pair
+                         logic: spend every cycle at this width until
+                         its global clean-superstep count reaches
+                         HARVEST_TARGET, the per-run cycle cap
+                         (HARVEST_PAIR_CYCLE_CAP) is hit, or the wall
+                         budget ends — used for the n32 cell, which
+                         no pair drives
 """
 
 from __future__ import annotations
@@ -109,10 +116,16 @@ def main() -> None:
     probe_sec = float(os.environ.get("HARVEST_PROBE_SEC", "90"))
     patience = int(os.environ.get("HARVEST_STORM_PATIENCE", "8"))
     storm_probes = 0
-    levels = [
-        int(x)
-        for x in os.environ.get("HARVEST_LEVELS", "2,8,4,16").split(",")
-    ]
+    forced = os.environ.get("HARVEST_FORCE_LEVEL")
+    forced = int(forced) if forced else None
+    levels = (
+        [forced]
+        if forced is not None
+        else [
+            int(x)
+            for x in os.environ.get("HARVEST_LEVELS", "2,8,4,16").split(",")
+        ]
+    )
     deadline = time.time() + hours * 3600
 
     os.makedirs(EVIDENCE_DIR, exist_ok=True)
@@ -193,7 +206,26 @@ def main() -> None:
     # criterion pair first: (4,16) only becomes eligible once (2,8)
     # is settled (efficiency measurable and >= 0.8, or capped out)
     while time.time() < deadline:
-        cores = _pair_needy((2, 8)) or _pair_needy((4, 16))
+        if forced is not None:
+            cores = forced
+            if done_counts.get(forced, 0) >= target:
+                print(
+                    f"[harvester] forced level n{forced} reached "
+                    f"{done_counts[forced]} clean supersteps "
+                    f"(target {target})",
+                    flush=True,
+                )
+                break
+            if spent[forced] >= pair_cap:
+                print(
+                    f"[harvester] forced level n{forced}: cycle cap "
+                    f"{pair_cap} hit with {done_counts.get(forced, 0)} "
+                    "clean supersteps",
+                    flush=True,
+                )
+                break
+        else:
+            cores = _pair_needy((2, 8)) or _pair_needy((4, 16))
         if cores is None:
             print(
                 f"[harvester] all pairs settled: "
