@@ -284,8 +284,17 @@ class BFScheduler(BFSchedulerView):
         # cumulative n_pages_new/n_pages_old counters; deriving n_old
         # from the distinct crawled-page count undercounts when a
         # batch RE-crawls existing pages, firing the 1%-growth gate
-        # too eagerly)
+        # too eagerly). A scheduler opened over an EXISTING PageDB
+        # seeds the base from the persisted crawled pages — the
+        # reference's reload path does the same (bf_scheduler.c:329
+        # adds n_reloaded_pages into n_pages_new), so a restart over
+        # 100k pages requires ~1k new pages before the next recompute
+        # instead of re-firing on every >=100-page batch
         self._pages_added_total = 0
+        if page_db is not None:
+            self._pages_added_total = (
+                page_db.page_info.where(F.col("n_crawls") > 0).count()
+            )
         self._last_update_time: float | None = None
 
     @classmethod

@@ -236,11 +236,16 @@ class FreqSchedulerView:
     # ---- loading ---------------------------------------------------------
 
     def _load_table(self, freq_table: DataFrame) -> None:
-        # scale guard: collect at most max_facade_rows + 1 rows, so an
-        # accidental facade-at-scale use fails fast with a pointer to
-        # the distributed path instead of OOMing the driver
-        probe = freq_table.select("url").limit(self.max_facade_rows + 1).count()
-        if probe > self.max_facade_rows:
+        # scale guard: ONE bounded collect (limit max_facade_rows + 1)
+        # both caps driver memory and detects facade-at-scale misuse —
+        # fail fast with a pointer to the distributed path instead of
+        # OOMing the driver, without a separate probe job
+        rows = (
+            freq_table.select("url", "freq")
+            .limit(self.max_facade_rows + 1)
+            .collect()
+        )
+        if len(rows) > self.max_facade_rows:
             raise ValueError(
                 f"freq table exceeds max_facade_rows={self.max_facade_rows}: "
                 "FreqSchedulerView is the driver-side aduana-parity facade; "
@@ -248,7 +253,7 @@ class FreqSchedulerView:
                 "EDF path) at this scale, or raise max_facade_rows if your "
                 "driver heap genuinely allows it"
             )
-        for r in freq_table.select("url", "freq").collect():
+        for r in rows:
             if r["freq"] is not None and r["freq"] > 0:
                 self._schedule[r["url"]] = [0.0, float(r["freq"])]
 

@@ -283,10 +283,11 @@ def audio_features(pcm: np.ndarray, rate: int, dim: int) -> np.ndarray:
     return out
 
 
-def _real_decode(content: bytes, mime: str | None, dim: int) -> list | None:
-    """Dispatch to the stdlib-expressible codecs; None for codecs the
-    environment cannot decode (or corrupt payloads) — a 10^12-row job
-    treats those as data, not exceptions."""
+def _real_decode(content: bytes, dim: int) -> list | None:
+    """Dispatch to the stdlib-expressible codecs — by magic bytes, not
+    the mime column (a 10^12-row crawl's mime labels lie; the payload
+    doesn't). None for codecs the environment cannot decode (or
+    corrupt payloads) — those are data, not exceptions."""
     try:
         if content[:8] == _PNG_SIG:
             return image_features(decode_png(content), dim).tolist()
@@ -318,7 +319,6 @@ def extract_media_features(
     plumbing exerciser."""
     if decoder not in ("real", "fake", "stub"):
         raise ValueError(f"unknown decoder {decoder!r}")
-    has_mime = "mime" in media.columns
 
     def run(batches):
         for pdf in batches:
@@ -330,10 +330,9 @@ def extract_media_features(
                     "for deterministic plumbing tests"
                 )
             if decoder == "real":
-                mimes = pdf["mime"] if has_mime else [None] * len(pdf)
                 feats = [
-                    _real_decode(c, m, dim) if c is not None else None
-                    for c, m in zip(pdf["content"], mimes)
+                    _real_decode(c, dim) if c is not None else None
+                    for c in pdf["content"]
                 ]
             else:
                 feats = [
@@ -349,11 +348,7 @@ def extract_media_features(
                 }
             )
 
-    cols = [
-        c
-        for c in ("media_id", "kind", "content", "mime")
-        if c in media.columns and (c != "mime" or decoder == "real")
-    ]
+    cols = [c for c in ("media_id", "kind", "content") if c in media.columns]
     return media.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

@@ -794,6 +794,18 @@ SCALING_PAIRS = ((2, 8), (4, 16), (8, 32))
 CLEAN_EFF_FRAC = {2: 0.85, 4: 0.85, 8: 0.85, 16: 0.7, 32: 0.55}
 
 
+def _clean_eff_frac(cores: int) -> float:
+    """Window-gate threshold for any width (HARVEST_FORCE_LEVEL /
+    HARVEST_LEVELS accept arbitrary core counts): tabulated levels
+    verbatim, in-between widths take the nearest-wider tabulated
+    threshold (conservatively lower — a wider job tolerates less
+    per-core headroom on this single-socket box)."""
+    if cores in CLEAN_EFF_FRAC:
+        return CLEAN_EFF_FRAC[cores]
+    wider = [c for c in sorted(CLEAN_EFF_FRAC) if c >= cores]
+    return CLEAN_EFF_FRAC[wider[0]] if wider else CLEAN_EFF_FRAC[32]
+
+
 def _supersteps_for(cores: int) -> int:
     """Supersteps per cycle: slow legs (N<=4) pay ~20 s per superstep,
     so 6 keeps the cycle short; fast legs amortize JVM startup over 8
@@ -826,7 +838,7 @@ def _wait_clean_window(
         # all — stalls ~0.5 ms/page in guest kernel
         fp = round(fault_probe(32), 1)
         fault_attempts.append(fp)
-        if eff >= CLEAN_EFF_FRAC[cores] * cores and fp >= 400.0:
+        if eff >= _clean_eff_frac(cores) * cores and fp >= 400.0:
             return {
                 "waited_sec": round(time.time() - t0, 1),
                 "probe_attempts": attempts,
@@ -1232,19 +1244,27 @@ def _compact_scaling(scaling: dict, core_levels=(2, 8, 4, 16, 32)) -> dict:
             )
             if k in lvl
         }
-    for k, v in scaling.items():
-        # raw + ceiling-normalized efficiencies; the ceiling speedups
-        # themselves live in the detail file (tail-capture budget)
-        if k.startswith("efficiency"):
-            out[k] = v
+    def _eff_keys(src: dict) -> dict:
+        # numeric efficiencies only; the ~200 B prose notes
+        # (_note / _unmeasurable explanations) stay in the detail
+        # file — 3 pairs × 2 sections of prose would blow the ~2 KB
+        # tail-capture budget the compact line exists to respect
+        kept: dict = {}
+        for k, v in src.items():
+            if not k.startswith("efficiency"):
+                continue
+            if k.endswith("_note"):
+                continue
+            kept[k] = "see detail" if k.endswith("_unmeasurable") else v
+        return kept
+
+    out.update(_eff_keys(scaling))
     m = scaling.get("merged")
     if m:
         # criterion numbers over this window ∪ committed evidence
         # windows (identical protocol instance; provenance + note in
         # the detail file / scaling_evidence/)
-        cm: dict = {
-            k: v for k, v in m.items() if k.startswith("efficiency")
-        }
+        cm: dict = _eff_keys(m)
         cm["clean_supersteps"] = {
             f"n{c}": m[f"n{c}"]["clean_supersteps"]
             for c in core_levels
@@ -1389,7 +1409,17 @@ def main() -> None:
     if scaling:
         detail["scaling"] = scaling
         result["scaling"] = _compact_scaling(scaling)
-    with open(DETAIL_FILE, "w") as fh:
+    # skip-scaling (fast/smoke) runs must not clobber the curated
+    # full-run detail artifact next to this file: without a scaling
+    # block the overwrite would silently delete committed evidence
+    detail_file = DETAIL_FILE
+    if SKIP_SCALING and not os.environ.get("SPARK_GRAFT_DETAIL_PATH"):
+        import tempfile
+
+        detail_file = os.path.join(
+            tempfile.gettempdir(), "BENCH_DETAIL_skip_scaling.json"
+        )
+    with open(detail_file, "w") as fh:
         json.dump(detail, fh, indent=1)
     try:
         os.unlink(DETAIL_FILE + ".partial")

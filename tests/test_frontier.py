@@ -524,6 +524,35 @@ def test_maybe_update_recrawls_grow_the_base(spark):
     assert sch._pages_added_total == 15030  # cumulative never resets
 
 
+def test_maybe_update_base_survives_restart(spark):
+    """A scheduler opened over an EXISTING PageDB must seed the
+    growth base from the persisted crawled pages — the reference's
+    reload path adds reloaded pages into the cumulative counter
+    (bf_scheduler.c:329), so a restart over a large DB must not
+    re-fire the full score recompute on every >=100-page batch."""
+    from aduana_spark.api import BFScheduler, PageDB
+
+    db = PageDB(spark)
+    rows = [
+        (i, f"https://d{i}.com/", [(f"https://d{i}.com/x", 0.5)], 0.0, b"h", TS)
+        for i in range(150)
+    ]
+    db.add_batch(spark.createDataFrame(rows, schema=BATCH_SCHEMA))
+
+    # "restart": a fresh scheduler over the same persisted PageDB
+    sch = BFScheduler(spark, page_db=db)
+    assert sch._pages_added_total == 150
+    # counter state as add() would leave it after a 1-page batch:
+    # n_old = 150 persisted pages -> blocked by the >=100 gate
+    sch._pages_added_total += 1
+    sch._pages_since_update = 1
+    assert sch.maybe_update() is False
+    # +99 more (100 since restart) >= max(100, 1% of 150) -> fires
+    sch._pages_added_total += 99
+    sch._pages_since_update = 100
+    assert sch.maybe_update() is True
+
+
 def test_frontier_topk_per_domain(spark):
     """SURVEY §2.5 politeness interleave: per_domain_k caps each
     domain's share of the batch before the global top-k, so a hub

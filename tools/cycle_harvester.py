@@ -57,7 +57,6 @@ Env:
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import sys
@@ -67,7 +66,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import bench  # noqa: E402
-from tools.merge_scaling_windows import _load_scaling  # noqa: E402
 
 EVIDENCE_DIR = os.path.join(REPO, "scaling_evidence")
 # same layout as the full suite (8 tasks/core at the widest suite
@@ -77,27 +75,16 @@ COPIES = int(os.environ.get("SPARK_GRAFT_SCALING_COPIES", "24"))
 
 
 def existing_clean_counts(levels: list[int], n_edges: int) -> dict[int, int]:
-    """Count already-harvested clean supersteps per level across every
+    """Already-harvested clean supersteps per level across every
     committed window/harvest file with a matching table, so the
-    harvester works toward the *global* target, not a per-run one."""
-    counts = {c: 0 for c in levels}
-    for p in sorted(glob.glob(os.path.join(EVIDENCE_DIR, "*.json"))):
-        try:
-            s = _load_scaling(p)
-        except (OSError, ValueError):
-            continue
-        if not s or s.get("edges") != n_edges or (
-            s.get("shuffle_partitions") != PARTITIONS
-        ):
-            continue
-        for c in s.get("cycles", []):
-            if c["cores"] in counts:
-                counts[c["cores"]] += sum(
-                    1
-                    for ss in c.get("supersteps", [])
-                    if bench._superstep_clean(ss, c["cores"])
-                )
-    return counts
+    harvester works toward the *global* target, not a per-run one.
+    Delegates to ``bench._merged_levels`` — the same loader and gates
+    the graded merge uses — instead of keeping a third, drift-prone
+    evidence-window parser."""
+    m = bench._merged_levels([], n_edges, PARTITIONS, list(levels), []) or {}
+    return {
+        c: (m.get(f"n{c}") or {}).get("clean_supersteps", 0) for c in levels
+    }
 
 
 def main() -> None:
@@ -165,10 +152,23 @@ def main() -> None:
     spent = {c: 0 for c in levels}
 
     def _merged_eff(pair):
+        """Merged min-estimator efficiency for the pair. A
+        superlinear-REFUSED pair (bench clamps eff > 1.1 to None +
+        an `_unmeasurable` reason) is returned as the sentinel
+        float('inf'), not None: the refusal means the slow leg's
+        clean samples were wall-inflated, which is the same
+        resample-the-slow-leg case as eff in (1.0, 1.1] — collapsing
+        it to None would route the budget to the generic
+        fewest-clean-supersteps branch, which can pick the FAST leg,
+        the one leg that cannot fix the estimate."""
+        key = f"efficiency_{pair[0]}_to_{pair[1]}"
         m = bench._merged_levels(
             [], n_edges, PARTITIONS, list(pair), [pair]
-        )
-        return (m or {}).get(f"efficiency_{pair[0]}_to_{pair[1]}")
+        ) or {}
+        eff = m.get(key)
+        if eff is None and "superlinear" in str(m.get(f"{key}_unmeasurable", "")):
+            return float("inf")
+        return eff
 
     def _pair_needy(pair):
         """Which leg of the pair to run next, or None if the pair is
