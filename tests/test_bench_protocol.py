@@ -205,10 +205,12 @@ def test_materialize_reuses_verified_table(tmp_path, monkeypatch):
 def test_harvester_counts_prior_clean_supersteps(tmp_path, monkeypatch):
     """The harvester resumes toward the global clean-superstep target by
     scanning committed evidence files; only windows with a matching
-    table (edges + partitions) count, and only gate-passing supersteps."""
+    table (edges + partitions) count, and only gate-passing supersteps.
+    It delegates to bench._merged_levels, so the shared loader's
+    EVIDENCE_DIR is what gets patched."""
     from tools import cycle_harvester as ch
 
-    monkeypatch.setattr(ch, "EVIDENCE_DIR", str(tmp_path))
+    monkeypatch.setattr(bench, "EVIDENCE_DIR", str(tmp_path))
     clean_ss = {"wall_sec": 10.0, "user_cores": 1.9, "system_cores": 0.1,
                 "steal_cores": 0.0, "steal_frac_of_job": 0.0}
     dirty_ss = {"wall_sec": 50.0, "user_cores": 0.9, "system_cores": 1.0,
