@@ -1223,6 +1223,21 @@ DETAIL_FILE = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
 )
 
 
+def _detail_path(skip_scaling: bool) -> str:
+    """Where main() writes the full detail artifact. Skip-scaling
+    (fast/smoke) runs must not clobber the curated full-run detail
+    next to this file — without a scaling block the overwrite would
+    silently delete committed evidence — so absent an explicit
+    SPARK_GRAFT_DETAIL_PATH they land in the temp dir."""
+    if skip_scaling and not os.environ.get("SPARK_GRAFT_DETAIL_PATH"):
+        import tempfile
+
+        return os.path.join(
+            tempfile.gettempdir(), "BENCH_DETAIL_skip_scaling.json"
+        )
+    return DETAIL_FILE
+
+
 def _compact_scaling(scaling: dict, core_levels=(2, 8, 4, 16, 32)) -> dict:
     """The few-hundred-byte summary that fits the driver's tail
     capture; the full cycle/probe detail lives in DETAIL_FILE."""
@@ -1409,17 +1424,7 @@ def main() -> None:
     if scaling:
         detail["scaling"] = scaling
         result["scaling"] = _compact_scaling(scaling)
-    # skip-scaling (fast/smoke) runs must not clobber the curated
-    # full-run detail artifact next to this file: without a scaling
-    # block the overwrite would silently delete committed evidence
-    detail_file = DETAIL_FILE
-    if SKIP_SCALING and not os.environ.get("SPARK_GRAFT_DETAIL_PATH"):
-        import tempfile
-
-        detail_file = os.path.join(
-            tempfile.gettempdir(), "BENCH_DETAIL_skip_scaling.json"
-        )
-    with open(detail_file, "w") as fh:
+    with open(_detail_path(SKIP_SCALING), "w") as fh:
         json.dump(detail, fh, indent=1)
     try:
         os.unlink(DETAIL_FILE + ".partial")

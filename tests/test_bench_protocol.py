@@ -229,6 +229,30 @@ def test_harvester_counts_prior_clean_supersteps(tmp_path, monkeypatch):
     assert counts == {2: 4, 8: 0, 4: 0}
 
 
+def test_skip_scaling_detail_never_clobbers_curated_artifact(monkeypatch):
+    """A fast/smoke run (SPARK_GRAFT_SKIP_SCALING=1) has no scaling
+    block; writing it over the committed full-run detail would
+    silently delete evidence. It must land in the temp dir unless an
+    explicit SPARK_GRAFT_DETAIL_PATH says otherwise."""
+    monkeypatch.delenv("SPARK_GRAFT_DETAIL_PATH", raising=False)
+    assert bench._detail_path(skip_scaling=False) == bench.DETAIL_FILE
+    skip = bench._detail_path(skip_scaling=True)
+    assert skip != bench.DETAIL_FILE
+    assert "BENCH_DETAIL_r4" not in skip
+    monkeypatch.setenv("SPARK_GRAFT_DETAIL_PATH", "/tmp/explicit.json")
+    assert bench._detail_path(skip_scaling=True) == bench.DETAIL_FILE
+
+
+def test_clean_eff_frac_handles_arbitrary_widths():
+    """HARVEST_FORCE_LEVEL / HARVEST_LEVELS accept any core count; the
+    window gate takes the nearest-wider tabulated threshold instead of
+    KeyError-ing."""
+    assert bench._clean_eff_frac(8) == bench.CLEAN_EFF_FRAC[8]
+    assert bench._clean_eff_frac(24) == bench.CLEAN_EFF_FRAC[32]
+    assert bench._clean_eff_frac(6) == bench.CLEAN_EFF_FRAC[8]
+    assert bench._clean_eff_frac(64) == bench.CLEAN_EFF_FRAC[32]
+
+
 def test_kernel_gate_is_width_aware():
     # fault-latency-regime n2 signature (BENCH.md round-4 root cause):
     # wall ~2x the healthy cost, steal near zero, sys/user 0.32-0.39 —
