@@ -229,6 +229,36 @@ def test_harvester_counts_prior_clean_supersteps(tmp_path, monkeypatch):
     assert counts == {2: 4, 8: 0, 4: 0}
 
 
+def test_merge_tool_reports_per_window_pairs(tmp_path):
+    """Windows that measured BOTH legs of a criterion pair (≥3 clean
+    supersteps each) get a self-contained, regime-matched per-window
+    efficiency in the merged artifact; single-leg windows don't."""
+    from tools import merge_scaling_windows as msw
+
+    def ss(wall):
+        return {"wall_sec": wall, "user_cores": 1.9, "system_cores": 0.1,
+                "steal_cores": 0.0, "steal_frac_of_job": 0.0}
+
+    both = {"edges": 1000000, "shuffle_partitions": 256, "cycles": [
+        {"cycle": 0, "cores": 2, "supersteps": [ss(40.0), ss(41.0), ss(42.0)]},
+        {"cycle": 1, "cores": 8, "supersteps": [ss(11.0), ss(11.5), ss(12.0)]},
+    ]}
+    one_leg = {"edges": 1000000, "shuffle_partitions": 256, "cycles": [
+        {"cycle": 0, "cores": 2, "supersteps": [ss(38.0), ss(39.0), ss(39.5)]},
+    ]}
+    a, b = tmp_path / "both.json", tmp_path / "oneleg.json"
+    a.write_text(json.dumps(both))
+    b.write_text(json.dumps(one_leg))
+    merged = msw.merge([str(a), str(b)])
+    # merged floor takes the one-leg window's faster n2 samples
+    assert merged["n2"]["min_sec_per_superstep"] == 38.0
+    assert merged["efficiency_2_to_8"] == round((38.0 / 11.0) / 4, 3)
+    # per-window pair only for the window holding both legs
+    assert merged["per_window_pairs"] == {
+        "both.json": {"2_to_8": round((40.0 / 11.0) / 4, 3)}
+    }
+
+
 def test_skip_scaling_detail_never_clobbers_curated_artifact(monkeypatch):
     """A fast/smoke run (SPARK_GRAFT_SKIP_SCALING=1) has no scaling
     block; writing it over the committed full-run detail would

@@ -84,6 +84,7 @@ def merge(paths: list[str]) -> dict:
     }
 
     levels: dict[int, list] = {}
+    per_window_levels: dict[str, dict[int, list]] = {}
     provenance: list[dict] = []
     for name, s in windows:
         for c in s["cycles"]:
@@ -94,9 +95,11 @@ def merge(paths: list[str]) -> dict:
                 if bench._superstep_clean(ss, cores)
             ]
             if clean:
-                levels.setdefault(cores, []).extend(
-                    ss["wall_sec"] for ss in clean
-                )
+                walls = [ss["wall_sec"] for ss in clean]
+                levels.setdefault(cores, []).extend(walls)
+                per_window_levels.setdefault(name, {}).setdefault(
+                    cores, []
+                ).extend(walls)
             provenance.append(
                 {
                     "window": name,
@@ -158,6 +161,20 @@ def merge(paths: list[str]) -> dict:
             out[f"efficiency_{n}_to_{n4}_unmeasurable"] = (
                 f"{missing} <3 clean supersteps across merged windows"
             )
+
+    # per-window pair efficiencies: a window that measured BOTH legs
+    # of a criterion pair (≥3 clean each) is a self-contained,
+    # regime-matched measurement — surface each one so a reviewer sees
+    # the within-window estimates next to the cross-window merge
+    # instead of having to re-derive them from provenance.
+    pw: dict[str, dict[str, float]] = {}
+    for name, lv in per_window_levels.items():
+        for n, n4 in bench.SCALING_PAIRS:
+            if len(lv.get(n, [])) >= 3 and len(lv.get(n4, [])) >= 3:
+                eff = (min(lv[n]) / min(lv[n4])) / (n4 / n)
+                pw.setdefault(name, {})[f"{n}_to_{n4}"] = round(eff, 3)
+    if pw:
+        out["per_window_pairs"] = pw
     return out
 
 
