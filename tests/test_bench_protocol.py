@@ -229,6 +229,30 @@ def test_harvester_counts_prior_clean_supersteps(tmp_path, monkeypatch):
     assert counts == {2: 4, 8: 0, 4: 0}
 
 
+def test_foreign_load_gate_is_cycle_relative():
+    """A second guest process burning the pinned CPUs books as plain
+    user time (steal≈0, sys/user small) — invisible to the per-sample
+    gates. Identical work per superstep bounds user-core-seconds: the
+    worst legitimate (memory-stall) inflation measured 2.4× the
+    cycle's floor; the one measured foreign-load sample read 4.0×.
+    The cycle-relative gate rejects >3× and nothing else."""
+    def ss(wall, user=1.8):
+        return {"wall_sec": wall, "user_cores": user, "system_cores": 0.05,
+                "steal_cores": 0.0, "steal_frac_of_job": 0.0}
+
+    base = [ss(30.0), ss(31.0), ss(33.0)]           # cs ≈ 54-59
+    stall = ss(70.0)                                # 2.33× floor: legit regime
+    foreign = ss(136.2, user=1.9)                   # 4.8× floor: second process
+    kept = bench.cycle_clean_supersteps(base + [stall, foreign], 2)
+    assert stall in kept and foreign not in kept
+    assert len(kept) == 4
+    # the per-sample gates still apply first
+    dirty = dict(ss(30.0), steal_frac_of_job=0.08)
+    assert dirty not in bench.cycle_clean_supersteps(base + [dirty], 2)
+    # a single passing sample has no intra-cycle reference: kept
+    assert bench.cycle_clean_supersteps([ss(136.2)], 2) == [ss(136.2)]
+
+
 def test_merge_tool_reports_per_window_pairs(tmp_path):
     """Windows that measured BOTH legs of a criterion pair (≥3 clean
     supersteps each) get a self-contained, regime-matched per-window

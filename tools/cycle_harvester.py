@@ -285,9 +285,7 @@ def main() -> None:
             timeout_sec=2700 if cores <= 4 else 1800,
         )
         supersteps = r.get("supersteps", [])[bench.WARMUP_SUPERSTEPS:]
-        clean = sum(
-            1 for ss in supersteps if bench._superstep_clean(ss, cores)
-        )
+        clean = len(bench.cycle_clean_supersteps(supersteps, cores))
         done_counts[cores] = done_counts.get(cores, 0) + clean
         spent[cores] = spent.get(cores, 0) + 1
         window["cycles"].append(

@@ -89,11 +89,9 @@ def merge(paths: list[str]) -> dict:
     for name, s in windows:
         for c in s["cycles"]:
             cores = c["cores"]
-            clean = [
-                ss
-                for ss in c.get("supersteps", [])
-                if bench._superstep_clean(ss, cores)
-            ]
+            clean = bench.cycle_clean_supersteps(
+                c.get("supersteps", []), cores
+            )
             if clean:
                 walls = [ss["wall_sec"] for ss in clean]
                 levels.setdefault(cores, []).extend(walls)
