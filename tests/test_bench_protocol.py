@@ -229,6 +229,34 @@ def test_harvester_counts_prior_clean_supersteps(tmp_path, monkeypatch):
     assert counts == {2: 4, 8: 0, 4: 0}
 
 
+def test_dual_pair_mode_alternates_window_locally():
+    """HARVEST_DUAL_PAIR harvests both legs into ONE window until each
+    has `target` clean supersteps there — window-local counts, slow
+    leg leads ties, per-leg cycle cap respected, None when done."""
+    from tools.cycle_harvester import dual_pair_next
+
+    pair, target, cap = (2, 8), 4, 5
+    # fresh window: slow leg (n2) leads the tie
+    assert dual_pair_next(pair, {}, {}, target, cap) == 2
+    # n2 ahead window-locally -> n8 next, even if n8 is ahead globally
+    assert dual_pair_next(pair, {2: 3, 8: 0}, {2: 1}, target, cap) == 8
+    # n8 met its window target -> keep finishing n2
+    assert dual_pair_next(pair, {2: 3, 8: 4}, {2: 1, 8: 1}, target, cap) == 2
+    # both met, window pair <= 1.0 -> window complete
+    done = ({2: 4, 8: 4}, {2: 2, 8: 1})
+    assert dual_pair_next(pair, *done, target, cap,
+                          {2: 20.0, 8: 5.5}) is None          # eff 0.909
+    # both met but window pair > 1.0 -> slow-leg floor unfound in this
+    # window: keep resampling the slow leg (window-scope protocol copy)
+    assert dual_pair_next(pair, *done, target, cap,
+                          {2: 24.0, 8: 5.5}) == 2             # eff 1.09
+    # ... unless the slow leg hit its cycle cap
+    assert dual_pair_next(pair, {2: 4, 8: 4}, {2: 5, 8: 1}, target, cap,
+                          {2: 24.0, 8: 5.5}) is None
+    # a leg at its cycle cap stops consuming budget even short of target
+    assert dual_pair_next(pair, {2: 0, 8: 4}, {2: 5, 8: 1}, target, cap) is None
+
+
 def test_foreign_load_gate_is_cycle_relative():
     """A second guest process burning the pinned CPUs books as plain
     user time (steal≈0, sys/user small) — invisible to the per-sample

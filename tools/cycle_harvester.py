@@ -53,6 +53,16 @@ Env:
                          (HARVEST_PAIR_CYCLE_CAP) is hit, or the wall
                          budget ends — used for the n32 cell, which
                          no pair drives
+  HARVEST_DUAL_PAIR      e.g. "2,8": harvest BOTH legs into this one
+                         window until each has HARVEST_TARGET clean
+                         supersteps HERE (window-local, not global),
+                         alternating legs by window-local depth (slow
+                         leg leads ties). Produces a self-contained
+                         regime-matched per-window pair for
+                         merge_scaling_windows.py per_window_pairs —
+                         used once the merged pair is settled but
+                         every committed window measured only one
+                         leg cleanly
 """
 
 from __future__ import annotations
@@ -87,6 +97,43 @@ def existing_clean_counts(levels: list[int], n_edges: int) -> dict[int, int]:
     }
 
 
+def dual_pair_next(
+    dual_pair: tuple,
+    window_counts: dict,
+    spent: dict,
+    target: int,
+    pair_cap: int,
+    window_floors: dict | None = None,
+):
+    """Next leg for HARVEST_DUAL_PAIR mode, or None when the window
+    is complete. Harvest BOTH legs into this one window until each
+    has >= target clean supersteps HERE, regardless of merged/global
+    state — the product is a self-contained, regime-matched
+    per-window pair (tools/merge_scaling_windows.py per_window_pairs
+    needs >= 3 clean supersteps per leg in the same window).
+    Alternate by window-local depth; the SLOW leg leads on ties so
+    its (longer) supersteps get the window's earliest quiet
+    minutes. Once both legs meet the target, the window's own
+    min-pair is checked: > 1.0 means the slow leg's in-window floor
+    is unfound (same one-box impossibility argument as the merged
+    estimator), so the slow leg keeps resampling up to its cycle
+    cap — the window-scope copy of the documented
+    resample-the-slow-leg protocol."""
+    under = [
+        c
+        for c in dual_pair
+        if window_counts.get(c, 0) < target and spent.get(c, 0) < pair_cap
+    ]
+    if under:
+        return min(under, key=lambda c: (window_counts.get(c, 0), c))
+    a, b = dual_pair
+    if window_floors and a in window_floors and b in window_floors:
+        eff = window_floors[a] / ((b / a) * window_floors[b])
+        if eff > 1.0 and spent.get(a, 0) < pair_cap:
+            return a
+    return None
+
+
 def main() -> None:
     hours = float(
         sys.argv[1] if len(sys.argv) > 1
@@ -105,9 +152,13 @@ def main() -> None:
     storm_probes = 0
     forced = os.environ.get("HARVEST_FORCE_LEVEL")
     forced = int(forced) if forced else None
+    dual = os.environ.get("HARVEST_DUAL_PAIR")
+    dual_pair = tuple(int(x) for x in dual.split(",")) if dual else None
     levels = (
         [forced]
         if forced is not None
+        else list(dual_pair)
+        if dual_pair is not None
         else [
             int(x)
             for x in os.environ.get("HARVEST_LEVELS", "2,8,4,16").split(",")
@@ -144,6 +195,11 @@ def main() -> None:
     }
 
     done_counts = existing_clean_counts(levels, n_edges)
+    # clean supersteps harvested into THIS window only — the dual-pair
+    # mode targets a self-contained per-window pair, so global counts
+    # are irrelevant to it
+    window_counts = {c: 0 for c in levels}
+    window_floors: dict = {}
     print(f"[harvester] prior clean counts: {done_counts}", flush=True)
     cycle_i = 0
     # per-pair cycle cap: a pair stuck under the bar stops consuming
@@ -224,6 +280,19 @@ def main() -> None:
                     flush=True,
                 )
                 break
+        elif dual_pair is not None:
+            cores = dual_pair_next(
+                dual_pair, window_counts, spent, target, pair_cap,
+                window_floors,
+            )
+            if cores is None:
+                print(
+                    f"[harvester] dual-pair window complete: "
+                    f"{ {c: window_counts.get(c, 0) for c in dual_pair} } "
+                    f"clean supersteps in {os.path.basename(out_path)}",
+                    flush=True,
+                )
+                break
         else:
             cores = _pair_needy((2, 8)) or _pair_needy((4, 16))
         if cores is None:
@@ -285,8 +354,15 @@ def main() -> None:
             timeout_sec=2700 if cores <= 4 else 1800,
         )
         supersteps = r.get("supersteps", [])[bench.WARMUP_SUPERSTEPS:]
-        clean = len(bench.cycle_clean_supersteps(supersteps, cores))
+        clean_ss = bench.cycle_clean_supersteps(supersteps, cores)
+        clean = len(clean_ss)
         done_counts[cores] = done_counts.get(cores, 0) + clean
+        window_counts[cores] = window_counts.get(cores, 0) + clean
+        if clean_ss:
+            w_min = min(ss["wall_sec"] for ss in clean_ss)
+            window_floors[cores] = min(
+                window_floors.get(cores, w_min), w_min
+            )
         spent[cores] = spent.get(cores, 0) + 1
         window["cycles"].append(
             {
