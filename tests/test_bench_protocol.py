@@ -229,6 +229,18 @@ def test_harvester_counts_prior_clean_supersteps(tmp_path, monkeypatch):
     assert counts == {2: 4, 8: 0, 4: 0}
 
 
+def test_docs_quote_current_merged_artifact():
+    """BASELINE/BENCH/SCALE narrate numbers whose source of truth is
+    the merged scaling artifact; a re-merge that moves a floor must
+    fail CI until the three docs are updated (round 4 caught stale
+    2->8 figures in all three after one re-merge)."""
+    from tools.check_doc_numbers import check
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifact = os.path.join(repo, "BENCH_BUILDER_r4.json")
+    assert check(artifact) == []
+
+
 def test_dual_pair_mode_alternates_window_locally():
     """HARVEST_DUAL_PAIR harvests both legs into ONE window until each
     has `target` clean supersteps there — window-local counts, slow
