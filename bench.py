@@ -956,6 +956,7 @@ def _merged_levels(
             "(tools/merge_scaling_windows.py documents the argument)"
         ),
     }
+    per_window: dict[str, dict[int, list[float]]] = {}
     for cores in levels:
         clean: list[float] = []
         contributing: set[str] = set()
@@ -964,8 +965,12 @@ def _merged_levels(
                 continue
             ok = cycle_clean_supersteps(c.get("supersteps", []), cores)
             if ok:
-                clean.extend(ss["wall_sec"] for ss in ok)
+                walls = [ss["wall_sec"] for ss in ok]
+                clean.extend(walls)
                 contributing.add(name)
+                per_window.setdefault(name, {}).setdefault(
+                    cores, []
+                ).extend(walls)
         lvl: dict = {
             "clean_supersteps": len(clean),
             "windows": sorted(contributing),
@@ -973,6 +978,9 @@ def _merged_levels(
         if len(clean) >= 3:
             best = min(clean)
             lvl["min_sec_per_superstep"] = round(best, 3)
+            lvl["median_sec_per_superstep"] = round(
+                sorted(clean)[len(clean) // 2], 3
+            )
             lvl["edges_per_sec"] = round(n_edges / best)
         else:
             lvl["unmeasurable"] = True
@@ -989,8 +997,28 @@ def _merged_levels(
             note = _pair_note(eff)
             if note:
                 merged[f"efficiency_{n}_to_{n4}_note"] = note
+            # regime-mix-sensitive cross-check (see BENCH.md estimator
+            # discussion): medians of the clean-sample union
+            med = (
+                lo["median_sec_per_superstep"]
+                / hi["median_sec_per_superstep"]
+            ) / (n4 / n)
+            merged[f"efficiency_{n}_to_{n4}_median"] = round(med, 3)
         else:
             merged[f"efficiency_{n}_to_{n4}"] = None
+    # per-window pair efficiencies: a window that measured BOTH legs of
+    # a pair (>=3 clean each) is a self-contained, regime-matched
+    # measurement — surfaced so the driver artifact carries the
+    # within-window estimates next to the cross-window merge (same
+    # block tools/merge_scaling_windows.py emits)
+    pw: dict[str, dict[str, float]] = {}
+    for name, lv in per_window.items():
+        for n, n4 in pairs:
+            if len(lv.get(n, [])) >= 3 and len(lv.get(n4, [])) >= 3:
+                eff = (min(lv[n]) / min(lv[n4])) / (n4 / n)
+                pw.setdefault(name, {})[f"{n}_to_{n4}"] = round(eff, 3)
+    if pw:
+        merged["per_window_pairs"] = pw
     return merged
 
 

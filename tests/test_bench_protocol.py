@@ -419,7 +419,26 @@ def test_merged_levels_unions_committed_windows(tmp_path, monkeypatch):
         (m["n8"]["edges_per_sec"] / m["n2"]["edges_per_sec"]) / 4, 3
     )
     assert m["efficiency_2_to_8"] == expected
+    # median cross-check over the union: n2 [19.8,20,21] -> 20.0,
+    # n8 [5.4,5.5,5.6] -> 5.5
+    assert m["n2"]["median_sec_per_superstep"] == 20.0
+    assert m["efficiency_2_to_8_median"] == round((20.0 / 5.5) / 4, 3)
+    # w1 measured both legs with >=3 clean each? n2 only has 2 in w1
+    # -> no self-contained pair from w1
+    assert "per_window_pairs" not in m
+    # give w1 a third clean n2 superstep: its pair becomes reportable
+    committed["cycles"][0]["supersteps"].append(ss(20.5, 2))
+    (tmp_path / "w1.json").write_text(json.dumps(committed))
+    m2 = bench._merged_levels(own, 1000, 256, [2, 8], [(2, 8)])
+    assert m2["per_window_pairs"]["w1.json"]["2_to_8"] == round(
+        (20.0 / 5.4) / 4, 3
+    )
     compact = bench._compact_scaling({"edges": 1000, "merged": m})
     assert compact["merged"]["efficiency_2_to_8"] == m["efficiency_2_to_8"]
+    # the regime-mix median cross-check rides the same projection
+    assert (
+        compact["merged"]["efficiency_2_to_8_median"]
+        == m["efficiency_2_to_8_median"]
+    )
     assert compact["merged"]["clean_supersteps"]["n2"] == 3
     assert len(json.dumps(compact)) < 1300
