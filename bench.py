@@ -660,6 +660,23 @@ def _run_pinned_cycle(
                 pass
 
 
+def _scaling_table_path(copies: int) -> str:
+    """Content-keyed /dev/shm path for the scaling table. The key
+    (sf-dir basename + copies) is what makes concurrent runs safe: a
+    bench invocation at a different SF used to re-materialize over the
+    one shared path, silently swapping the table under an in-flight
+    harvester — its cycles then measured the wrong table while
+    self-reporting the old edge count, which the merge would have
+    accepted (caught live: an 'n2' cycle with 5 s walls against an
+    18.99 s floor). Distinct tables now get distinct paths; an
+    explicit SPARK_GRAFT_SCALING_TABLE is honored verbatim."""
+    env = os.environ.get("SPARK_GRAFT_SCALING_TABLE")
+    if env:
+        return env
+    key = f"{os.path.basename(os.path.normpath(SF_DIR))}_{copies}x"
+    return f"/dev/shm/aduana_scaling_edges_{key}"
+
+
 def _materialize_scaling_table(copies: int) -> tuple[str, int]:
     """Write the inflated edge table once (full cores) so every cycle
     at every level reads identical bytes.
@@ -671,9 +688,7 @@ def _materialize_scaling_table(copies: int) -> tuple[str, int]:
     written after a successful count, so a killed write never leaves a
     reusable-looking partial table; pyarrow re-counts the footers
     (cheap, no JVM) as a belt-and-braces check."""
-    path = os.environ.get(
-        "SPARK_GRAFT_SCALING_TABLE", "/dev/shm/aduana_scaling_edges"
-    )
+    path = _scaling_table_path(copies)
     marker = path + ".meta"
     try:
         with open(marker) as fh:

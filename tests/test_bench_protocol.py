@@ -229,6 +229,23 @@ def test_harvester_counts_prior_clean_supersteps(tmp_path, monkeypatch):
     assert counts == {2: 4, 8: 0, 4: 0}
 
 
+def test_scaling_table_path_is_content_keyed(monkeypatch):
+    """Different (sf_dir, copies) must never share a /dev/shm path: a
+    bench run at another SF once re-materialized over the shared path
+    mid-harvest, and the harvester's cycles measured the wrong table
+    while self-reporting the old edge count."""
+    monkeypatch.delenv("SPARK_GRAFT_SCALING_TABLE", raising=False)
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    p_big = bench._scaling_table_path(24)
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
+    p_small = bench._scaling_table_path(24)
+    assert p_big != p_small
+    assert bench._scaling_table_path(8) != p_small  # copies in the key
+    # explicit override honored verbatim
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_TABLE", "/dev/shm/x")
+    assert bench._scaling_table_path(24) == "/dev/shm/x"
+
+
 def test_docs_quote_current_merged_artifact():
     """BASELINE/BENCH/SCALE narrate numbers whose source of truth is
     the merged scaling artifact; a re-merge that moves a floor must
