@@ -250,12 +250,13 @@ def test_docs_quote_current_merged_artifact():
     """BASELINE/BENCH/SCALE narrate numbers whose source of truth is
     the merged scaling artifact; a re-merge that moves a floor must
     fail CI until the three docs are updated (round 4 caught stale
-    2->8 figures in all three after one re-merge)."""
-    from tools.check_doc_numbers import check
+    2->8 figures in all three after one re-merge). Targets the
+    highest-round builder artifact so a new round can't be silently
+    checked against the previous round's file."""
+    from tools.check_doc_numbers import check, latest_builder_artifact
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    artifact = os.path.join(repo, "BENCH_BUILDER_r4.json")
-    assert check(artifact) == []
+    artifact = latest_builder_artifact()
+    assert check(artifact) == [], artifact
 
 
 def test_dual_pair_mode_alternates_window_locally():
