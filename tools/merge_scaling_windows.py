@@ -179,6 +179,26 @@ def merge(paths: list[str]) -> dict:
 if __name__ == "__main__":
     if len(sys.argv) < 3:
         raise SystemExit(__doc__)
+    # The first arg is the OUTPUT. A bare glob once put a window file
+    # there and clobbered it (restored from git) — refuse mechanically
+    # instead of relying on the docstring: the output must not be one
+    # of the inputs, and must not live inside the evidence directory.
+    out_path = os.path.abspath(sys.argv[1])
+    in_paths = {os.path.abspath(p) for p in sys.argv[2:]}
+    if out_path in in_paths:
+        raise SystemExit(
+            f"refusing: output {sys.argv[1]} is also an input — the "
+            "first argument is the OUTPUT file, not a window"
+        )
+    evdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scaling_evidence",
+    )
+    if os.path.dirname(out_path) == evdir:
+        raise SystemExit(
+            f"refusing: output {sys.argv[1]} is inside scaling_evidence/ "
+            "— writing there would overwrite harvested windows"
+        )
     merged = merge(sys.argv[2:])
     with open(sys.argv[1], "w") as fh:
         json.dump(merged, fh, indent=1)
