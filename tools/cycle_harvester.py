@@ -178,7 +178,7 @@ def main() -> None:
     # SPARK_GRAFT_CYCLE_JAVA_OPTS
     edges_path, n_edges = bench._materialize_scaling_table(COPIES)
     out_path = os.path.join(
-        EVIDENCE_DIR, time.strftime("r4_harvest_%m%d_%H%M.json")
+        EVIDENCE_DIR, time.strftime("r5_harvest_%m%d_%H%M.json")
     )
     window: dict = {
         "protocol": (
