@@ -199,39 +199,69 @@ def kmeans_centroids(
     iters: int = 5,
     seed: int = 42,
     sample_limit: int = 4096,
+    full_iters: int = 0,
 ) -> np.ndarray:
-    """Coarse quantizer for IVF: Lloyd's k-means. Assignment is the
-    broadcast pandas UDF above; updates aggregate per-cell sums/counts
-    distributedly — one groupBy per iteration, and the only
-    driver-side data is the k × dim (cell, pos, sum, count) rows.
+    """Coarse quantizer for IVF: Lloyd's k-means, trained on a uniform
+    sample — the standard IVF practice (faiss trains its coarse
+    quantizer on a bounded sample, then assigns the full table once):
+    at 10^12 rows a full-table Lloyd's pass per iteration is a 100 TB
+    scan per iteration for a quantizer whose cells only need to be
+    *roughly* balanced; the sample estimator of the cell means
+    converges at 1/√n independent of table size.
 
-    Seeding draws a uniform random sample (rand(seed) + limit →
-    TakeOrderedAndProject: one pass, per-partition top-n heap, no full
-    sort shuffle) rather than head-of-table — the first parquet rows
-    of a 100 TB table are not i.i.d., and a skewed seed slows Lloyd's
-    convergence. Driver data volume is unchanged (sample_limit rows)."""
+    Cost model (the round-4 clean-probe regression was exactly this):
+    the old path paid a full-scan ``orderBy(rand)`` seeding job plus
+    one full-scan aggregate + collect round-trip *per iteration* —
+    6 sequential driver-blocking jobs for iters=5. This path pays ONE
+    cheap metadata count + ONE Bernoulli-sample scan (filter only, no
+    per-partition top-n heap over wide vector rows), then iterates in
+    numpy on the driver: zero Spark jobs per Lloyd iteration.
+
+    ``full_iters > 0`` appends exact full-table refinement iterations
+    (distributed per-cell mean via one map-side-combinable groupBy +
+    k×dim-row collect per iteration) for callers who want the
+    asymptotically exact cell means — same aggregate shape the
+    round-4 path used, kept for that contract and still scale-safe
+    (driver traffic is k × dim scalars, never rows)."""
     import pyspark.sql.functions as F  # noqa: F811
 
-    first = np.array(
-        [
-            r[0]
-            for r in df.select(vec_col)
-            .orderBy(F.rand(seed))
+    total = df.count()
+    if total == 0:
+        raise ValueError("kmeans_centroids: empty input")
+    vecs = df.select(vec_col)
+    if total <= sample_limit:
+        rows = vecs.collect()
+    else:
+        frac = min(1.0, 1.3 * sample_limit / total)
+        rows = (
+            vecs.sample(withReplacement=False, fraction=frac, seed=seed)
             .limit(sample_limit)
             .collect()
-        ],
-        dtype=float,
-    )
+        )
+        if len(rows) < min(k, total):  # pathological under-sample
+            rows = vecs.limit(sample_limit).collect()
+    sample = np.array([r[0] for r in rows], dtype=float)
     rng = np.random.RandomState(seed)
-    cents = first[rng.choice(len(first), size=min(k, len(first)), replace=False)]
+    cents = sample[
+        rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    ]
     for _ in range(iters):
+        # (n,k) squared distances via ||c||² - 2 x·c (x² is constant
+        # per row — argmin-invariant)
+        d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (sample @ cents.T)
+        assign = d.argmin(axis=1)
+        new = cents.copy()
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                new[c] = sample[m].mean(axis=0)
+        cents = new
+    for _ in range(full_iters):
         assigned = add_ivf_cells(df, cents, vec_col, "cell").select(
             "cell", F.col(vec_col).alias("v")
         )
         agg = (
-            assigned.select(
-                "cell", F.posexplode("v").alias("pos", "x")
-            )
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
             .collect()

@@ -125,6 +125,32 @@ def scaling_edges(spark, copies: int = 16) -> DataFrame:
     )
 
 
+def _query_contaminated(c: dict | None) -> bool:
+    """Same adjudication main() publishes as ``contaminated_queries``:
+    host steal during the query's own window, or a kernel-dominated
+    profile (lock-holder preemption / free-page-reporting storm),
+    attributes a slow wall to the environment rather than the plan."""
+    return bool(c) and (
+        c.get("steal_pct", 0.0) >= 2.0
+        or c.get("system_pct", 0.0) >= 0.6 * max(c.get("user_pct", 0.0), 0.1)
+    )
+
+
+# one storm-gated re-run per contaminated headline query (round-4
+# verdict: 5/12 rows were probe-flagged with no clean driver
+# wall-clock for the heavy iterative queries). The retry waits for a
+# clean probe window first — re-running INTO the same storm proves
+# nothing — and the whole suite shares one wait budget so a
+# persistent storm costs bounded time, not 12×180 s.
+HEADLINE_RETRIES = int(os.environ.get("SPARK_GRAFT_HEADLINE_RETRIES", "1"))
+_HEADLINE_RETRY_WAIT = float(
+    os.environ.get("SPARK_GRAFT_HEADLINE_RETRY_WAIT", "180")
+)
+_HEADLINE_RETRY_BUDGET = float(
+    os.environ.get("SPARK_GRAFT_HEADLINE_RETRY_BUDGET", "900")
+)
+
+
 def run_headline(spark) -> tuple[dict[str, float], dict[str, dict]]:
     from aduana_spark.datagen import synth_pages
     from aduana_spark.extraction import extract_pages, raw_edges
@@ -143,12 +169,44 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, dict]]:
     # because only the scaling suite carried probes
     qcpu: dict[str, dict] = {}
 
-    def T(name, fn):
-        s0 = _proc_stat()
-        t0 = time.time()
-        out = fn()
-        q[name] = time.time() - t0
-        qcpu[name] = _proc_stat_delta(s0, _proc_stat())
+    retry_budget = [_HEADLINE_RETRY_BUDGET]
+
+    def T(name, fn, cleanup=None):
+        attempts: list[tuple[float, dict, object]] = []
+        while True:
+            s0 = _proc_stat()
+            t0 = time.time()
+            out = fn()
+            wall = time.time() - t0
+            cpu = _proc_stat_delta(s0, _proc_stat())
+            attempts.append((wall, cpu, out))
+            dirty = _query_contaminated(cpu)
+            if not dirty or len(attempts) > HEADLINE_RETRIES:
+                break
+            if retry_budget[0] <= 0:
+                break
+            # drop the contaminated attempt's side effects before
+            # re-running (e.g. a persisted cell table)
+            if cleanup is not None:
+                cleanup(out)
+            gate_wait = min(_HEADLINE_RETRY_WAIT, retry_budget[0])
+            t_gate = time.time()
+            gate = _wait_clean_window(
+                CPUS, gate_wait, time.time() + gate_wait
+            )
+            retry_budget[0] -= time.time() - t_gate
+            if not gate.get("window_clean"):
+                break  # storm persists: keep the honest dirty sample
+        # prefer the last CLEAN attempt; fall back to the fastest wall
+        clean = [a for a in attempts if not _query_contaminated(a[1])]
+        wall, cpu, out = clean[-1] if clean else min(attempts, key=lambda a: a[0])
+        for extra_wall, extra_cpu, extra_out in attempts:
+            if extra_out is not out and cleanup is not None:
+                cleanup(extra_out)
+        q[name] = wall
+        qcpu[name] = dict(cpu)
+        if len(attempts) > 1:
+            qcpu[name]["attempt_walls"] = [round(a[0], 3) for a in attempts]
         return out
 
     edges = bench_edges(spark)
@@ -226,7 +284,9 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, dict]]:
         cells.count()
         return cents, cells
 
-    cents, cells = T("ivf_build_cells", _ivf_build)
+    cents, cells = T(
+        "ivf_build_cells", _ivf_build, cleanup=lambda out: out[1].unpersist()
+    )
     T(
         "ivf_topk_cells",
         lambda: ivf_topk(
