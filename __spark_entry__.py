@@ -688,13 +688,17 @@ def _q_contamination(spark, sf_dir):
 
 def _q_media_decode(spark, sf_dir):
     # REAL multimodal decode end-to-end (multimodal.py): synthesized
-    # constant-color PNGs (cycling all 5 row filters, so Sub/Up/
-    # Average/Paeth reconstruction all run) and square-wave PCM WAVs
-    # decoded by the stdlib codecs. Constant color → channel mean is
-    # exactly c/255 and std is exactly 0; square wave → RMS = peak =
-    # v/32768 exactly. Scaling those features back to integers makes
-    # every output column a closed-form function of doc_id alone, so
-    # DuckDB value-checks the decode without decoding PNG/WAV itself.
+    # constant-color images across FOUR codec classes by id%8 —
+    # palette PNG (PLTE expansion), 16-bit RGB PNG (c·257 samples,
+    # value-checking the /65535 scale contract), 24-bit BMP
+    # (bottom-up + padded rows), 8-bit truecolor PNG — PNG classes
+    # cycling all 5 row filters, plus square-wave PCM WAVs. All image
+    # classes decode to the SAME constant pixels, so one closed form
+    # covers every codec path: channel mean is exactly c/255, std
+    # exactly 0; square wave → RMS = peak = v/32768 exactly. Scaling
+    # the features back to integers makes every output column a
+    # closed-form function of doc_id alone, so DuckDB value-checks
+    # the decodes without decoding PNG/BMP/WAV itself.
     from aduana_spark.pipeline.multimodal import (
         extract_media_features,
         synthesize_media,
@@ -1220,14 +1224,17 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY doc_id
         """,
         "media_decode": """
-            -- closed-form expectations for the REAL PNG/WAV decode:
-            -- even ids are constant-color (r,g,b) PNGs of size
-            -- (3+id%4) x (4+id%5) — decoded channel mean is exactly
-            -- c/255 and std exactly 0; odd ids are square-wave PCM16
-            -- WAVs with int16 code v = 1000+500*(id%60) at 8 kHz for
-            -- 100+10*id ms — decoded RMS and peak are exactly v/32768.
-            -- DuckDB cannot decode PNG/WAV; it recomputes the integers
-            -- the decode must reproduce. -1 sentinel (not NULL) for
+            -- closed-form expectations for the REAL PNG/BMP/WAV
+            -- decode: even ids are constant-color (r,g,b) images of
+            -- size (3+id%4) x (4+id%5) across four codec classes by
+            -- id%8 (palette PNG / 16-bit PNG / 24-bit BMP / 8-bit
+            -- PNG) that all decode to the SAME pixels — channel mean
+            -- is exactly c/255 and std exactly 0 regardless of
+            -- class; odd ids are square-wave PCM16 WAVs with int16
+            -- code v = 1000+500*(id%60) at 8 kHz for 100+10*id ms —
+            -- decoded RMS and peak are exactly v/32768. DuckDB
+            -- cannot decode PNG/BMP/WAV; it recomputes the integers
+            -- the decodes must reproduce. -1 sentinel (not NULL) for
             -- not-applicable kind/column pairs — the comparator sorts
             -- row tuples in Python where None is unorderable.
             SELECT doc_id AS media_id,

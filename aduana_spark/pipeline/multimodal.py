@@ -18,12 +18,14 @@ Decoders, by fidelity:
 - ``decoder='stub'`` — raises NotImplementedError loudly: marks where
   Pillow/librosa/pyav would plug in for the codecs stdlib cannot do.
 
-Scale note: the pure-Python PNG filter reconstruction is per-row
-sequential for filters 1/3/4 — correct, and fine at metadata/test
-scale, but a 100 TB image corpus would swap in a vectorized codec
-(Pillow-SIMD/pyav) behind the same ``mapInPandas`` signature; the
-plumbing (one Arrow batch in, one out, no shuffle) is the part that
-survives the swap.
+Scale note: PNG filter reconstruction is numpy-vectorized where the
+recurrence allows it (Sub is a per-lane cumsum mod 256; Up is a
+vector add) and a C-speed Python-int loop where it does not
+(Average/Paeth carry a left-neighbor dependency with a floor-divide,
+which no prefix-scan expresses exactly) — a 100 TB image corpus
+would still swap in a SIMD codec (Pillow-SIMD/pyav) behind the same
+``mapInPandas`` signature; the plumbing (one Arrow batch in, one
+out, no shuffle) is the part that survives the swap.
 """
 
 from __future__ import annotations
@@ -63,18 +65,56 @@ FEATURE_SCHEMA = T.StructType(
 # ---- real codecs (stdlib-only: zlib for PNG, wave for PCM WAV) -------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # gray, RGB, palette, G+A, RGBA
+
+
+def _unfilter_avg(row: list, prev: list, bpp: int) -> None:
+    """Average filter reconstruction, in place on Python-int lists.
+    The recurrence out[i] = raw[i] + ⌊(out[i-bpp] + up[i]) / 2⌋ mod 256
+    carries a left dependency through a floor-divide — not expressible
+    as a prefix scan — so the fast exact path is a C-speed int loop
+    (plain-list arithmetic is ~6× numpy scalar indexing)."""
+    for i in range(bpp):
+        row[i] = (row[i] + (prev[i] >> 1)) & 0xFF
+    for i in range(bpp, len(row)):
+        row[i] = (row[i] + ((row[i - bpp] + prev[i]) >> 1)) & 0xFF
+
+
+def _unfilter_paeth(row: list, prev: list, bpp: int) -> None:
+    """Paeth filter reconstruction, in place on Python-int lists (same
+    left-dependency argument as :func:`_unfilter_avg`)."""
+    for i in range(bpp):
+        row[i] = (row[i] + prev[i]) & 0xFF  # a = c = 0 → pred = b
+    for i in range(bpp, len(row)):
+        a = row[i - bpp]
+        b = prev[i]
+        c = prev[i - bpp]
+        pp = a + b - c
+        pa = pp - a if pp >= a else a - pp
+        pb = pp - b if pp >= b else b - pp
+        pc = pp - c if pp >= c else c - pp
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        row[i] = (row[i] + pred) & 0xFF
 
 
 def decode_png(content: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG (color types 0/2/4/6) to a
-    (H, W, C) uint8 array. Full filter reconstruction (None/Sub/Up/
-    Average/Paeth, RFC 2083 §6). Raises ValueError on non-PNG bytes
-    and NotImplementedError on PNG variants out of scope (16-bit,
-    palette, interlaced)."""
+    """Decode a non-interlaced PNG to an (H, W, C) array:
+
+    - 8-bit gray/RGB/gray+A/RGBA (color types 0/2/4/6) → uint8
+    - 8-bit palette (color type 3 + PLTE) → uint8 RGB (expanded)
+    - 16-bit gray/RGB/gray+A/RGBA → uint16
+
+    Full filter reconstruction (None/Sub/Up/Average/Paeth, RFC 2083
+    §6; filtering is byte-wise with the pixel offset ``bpp``). Sub is
+    vectorized as a per-byte-lane cumulative sum mod 256, Up as a
+    vector add; Average/Paeth run as C-speed int-list loops (their
+    left-neighbor floor-divide recurrence has no exact prefix-scan
+    form). Raises ValueError on non-PNG bytes and NotImplementedError
+    on variants out of scope (sub-byte palette depths, interlaced,
+    16-bit palette)."""
     if len(content) < 8 or content[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
-    pos, idat, hdr = 8, [], None
+    pos, idat, hdr, palette = 8, [], None, None
     while pos + 8 <= len(content):
         (ln,), typ = struct.unpack(">I", content[pos:pos + 4]), content[pos + 4:pos + 8]
         data = content[pos + 8:pos + 8 + ln]
@@ -83,21 +123,33 @@ def decode_png(content: bytes) -> np.ndarray:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+            if (
+                interlace != 0
+                or ctype not in _PNG_CHANNELS
+                or depth not in (8, 16)
+                or (ctype == 3 and depth != 8)
+            ):
                 raise NotImplementedError(
                     f"PNG variant out of scope (depth={depth}, "
                     f"color_type={ctype}, interlace={interlace})"
                 )
-            hdr = (w, h, ctype)
+            hdr = (w, h, ctype, depth)
+        elif typ == b"PLTE":
+            if ln % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
             break
     if hdr is None:
         raise ValueError("PNG missing IHDR")
-    w, h, ctype = hdr
+    w, h, ctype, depth = hdr
+    if ctype == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE")
     ch = _PNG_CHANNELS[ctype]
-    stride = w * ch
+    bpp = ch * (depth // 8)  # filter offset is in BYTES (spec §6.2)
+    stride = w * bpp
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
@@ -107,30 +159,40 @@ def decode_png(content: bytes) -> np.ndarray:
     for y in range(h):
         f = raw[p]
         p += 1
-        row = np.frombuffer(raw, np.uint8, stride, p).copy()
+        row = np.frombuffer(raw, np.uint8, stride, p)
         p += stride
-        if f == 1:  # Sub: left neighbor (per-pixel sequential along x)
-            for i in range(ch, stride):
-                row[i] = (int(row[i]) + int(row[i - ch])) & 0xFF
+        if f == 0:
+            row = row.copy()
+        elif f == 1:  # Sub ≡ per-lane prefix sum mod 256 (uint64 cumsum)
+            row = (
+                row.reshape(w, bpp)
+                .astype(np.uint64)
+                .cumsum(axis=0)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
         elif f == 2:  # Up: uint8 add wraps mod 256 by definition
-            row += prev
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = int(row[i - ch]) if i >= ch else 0
-                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = int(row[i - ch]) if i >= ch else 0
-                b = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
-                pp = a + b - c
-                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[i] = (int(row[i]) + pred) & 0xFF
-        elif f != 0:
+            row = row + prev
+        elif f in (3, 4):
+            lst, plst = row.tolist(), prev.tolist()
+            (_unfilter_avg if f == 3 else _unfilter_paeth)(lst, plst, bpp)
+            row = np.frombuffer(bytes(lst), np.uint8)
+        else:
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = row
-        prev = row
+        prev = out[y]
+    if ctype == 3:
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        return palette[idx]  # (H, W, 3) uint8
+    if depth == 16:
+        return (
+            out.reshape(h, w * ch * 2)
+            .view(">u2")
+            .astype(np.uint16)
+            .reshape(h, w, ch)
+        )
     return out.reshape(h, w, ch)
 
 
@@ -143,39 +205,65 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, row_filter: int = 0) -> bytes:
-    """Minimal PNG encoder for (H, W, C) uint8 arrays (C in 1/2/3/4).
+def encode_png(
+    arr: np.ndarray,
+    row_filter: int = 0,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Minimal PNG encoder:
+
+    - (H, W, C) uint8, C in 1/2/3/4 → 8-bit gray/G+A/RGB/RGBA
+    - (H, W, C) uint16 → 16-bit big-endian samples
+    - (H, W) uint8 indices + ``palette`` (k, 3) uint8 → color type 3
+
     ``row_filter`` applies the SAME filter to every scanline (0-4) —
     mainly so tests can exercise every decode reconstruction path with
-    known pixels."""
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, ch = arr.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    flat = arr.reshape(h, w * ch).astype(np.uint8)
-    stride = w * ch
+    known pixels. Filtering is byte-wise with offset ``bpp`` exactly
+    as the decoder expects (spec §6.2)."""
+    is16 = arr.dtype == np.uint16
+    if palette is not None:
+        if arr.ndim != 2:
+            raise ValueError("palette PNG takes (H, W) index array")
+        h, w = arr.shape
+        ch, ctype, depth = 1, 3, 8
+        flat = arr.reshape(h, w).astype(np.uint8)
+        raw_rows = flat
+    else:
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, ch = arr.shape
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        depth = 16 if is16 else 8
+        if is16:
+            raw_rows = (
+                arr.astype(">u2").view(np.uint8).reshape(h, w * ch * 2)
+            )
+        else:
+            raw_rows = arr.reshape(h, w * ch).astype(np.uint8)
+    bpp = ch * (depth // 8)
+    stride = raw_rows.shape[1]
     lines = []
     prev = np.zeros(stride, np.uint8)
     for y in range(h):
-        row = flat[y]
+        row = raw_rows[y]
         if row_filter == 0:
             enc = row
         elif row_filter == 1:
             enc = row.copy()
-            enc[ch:] = (row[ch:].astype(np.int16) - row[:-ch]) & 0xFF
+            enc[bpp:] = (row[bpp:].astype(np.int16) - row[:-bpp]) & 0xFF
         elif row_filter == 2:
             enc = (row.astype(np.int16) - prev) & 0xFF
         elif row_filter == 3:
             enc = row.copy()
             for i in range(stride):
-                left = int(row[i - ch]) if i >= ch else 0
+                left = int(row[i - bpp]) if i >= bpp else 0
                 enc[i] = (int(row[i]) - ((left + int(prev[i])) >> 1)) & 0xFF
         elif row_filter == 4:
             enc = row.copy()
             for i in range(stride):
-                a = int(row[i - ch]) if i >= ch else 0
+                a = int(row[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 pp = a + b - c
                 pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -184,13 +272,75 @@ def encode_png(arr: np.ndarray, row_filter: int = 0) -> bytes:
             raise ValueError("row_filter must be 0-4")
         lines.append(bytes([row_filter]) + enc.astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
-        + _png_chunk(b"IEND", b"")
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    chunks = [_PNG_SIG, _png_chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        chunks.append(
+            _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+        )
+    chunks.append(_png_chunk(b"IDAT", zlib.compress(b"".join(lines))))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return b"".join(chunks)
+
+
+# ---- BMP (BITMAPINFOHEADER, uncompressed 24-bit BI_RGB) --------------
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BI_RGB BMP (BITMAPINFOHEADER or
+    larger header) to (H, W, 3) uint8 RGB. Handles bottom-up (positive
+    height) and top-down (negative height) row order and the 4-byte
+    scanline padding. Raises ValueError on non-BMP bytes and
+    NotImplementedError on BMP variants out of scope (compressed,
+    paletted, other bit depths)."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_off = struct.unpack("<I", content[10:14])[0]
+    hdr_size = struct.unpack("<I", content[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP header size {hdr_size} out of scope")
+    w, h_signed = struct.unpack("<ii", content[18:26])
+    planes, bitcount = struct.unpack("<HH", content[26:30])
+    compression = struct.unpack("<I", content[30:34])[0]
+    if planes != 1 or bitcount != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP variant out of scope (planes={planes}, "
+            f"bpp={bitcount}, compression={compression})"
+        )
+    if w <= 0 or h_signed == 0:
+        raise ValueError("bad BMP dimensions")
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3  # scanlines pad to 4 bytes
+    need = data_off + row_bytes * h
+    if len(content) < need:
+        raise ValueError("BMP pixel payload truncated")
+    px = np.frombuffer(content, np.uint8, row_bytes * h, data_off).reshape(
+        h, row_bytes
+    )[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(arr: np.ndarray, top_down: bool = False) -> bytes:
+    """Minimal uncompressed 24-bit BI_RGB BMP encoder for (H, W, 3)
+    uint8 RGB arrays (bottom-up by default, like most writers)."""
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("BMP encoder takes (H, W, 3) RGB")
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    bgr = arr[:, :, ::-1]
+    if not top_down:
+        bgr = bgr[::-1]
+    rows = np.zeros((h, row_bytes), np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    pixels = rows.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, (-h if top_down else h), 1, 24, 0, len(pixels), 2835, 2835, 0, 0,
     )
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return file_hdr + info + pixels
 
 
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
@@ -244,10 +394,13 @@ def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def image_features(arr: np.ndarray, dim: int) -> np.ndarray:
     """Real image features: dimensions + per-channel mean/std (0-1
-    scaled) + mean luminance, zero-padded/truncated to ``dim``."""
+    scaled by the sample dtype's full range, so an 8-bit color c and
+    its 16-bit c·257 replication yield the SAME feature) + mean
+    luminance, zero-padded/truncated to ``dim``."""
     h, w = arr.shape[:2]
     ch = arr.shape[2] if arr.ndim == 3 else 1
-    px = arr.reshape(h * w, ch).astype(np.float64) / 255.0
+    scale = 65535.0 if arr.dtype == np.uint16 else 255.0
+    px = arr.reshape(h * w, ch).astype(np.float64) / scale
     means = px.mean(axis=0)
     stds = px.std(axis=0)
     luma = means[:3].mean() if ch >= 3 else means[0]
@@ -291,6 +444,8 @@ def _real_decode(content: bytes, dim: int) -> list | None:
     try:
         if content[:8] == _PNG_SIG:
             return image_features(decode_png(content), dim).tolist()
+        if content[:2] == b"BM" and len(content) >= 54:
+            return image_features(decode_bmp(content), dim).tolist()
         if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             pcm, rate = decode_wav(content)
             return audio_features(pcm, rate, dim).tolist()
@@ -370,16 +525,28 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic media corpus keyed by ``doc_id``: even ids become
-    constant-color RGB PNGs cycling through all five PNG row filters
-    (None/Sub/Up/Average/Paeth — so reading them back exercises every
-    reconstruction path in :func:`decode_png`), odd ids become
-    square-wave 16-bit PCM WAVs.
+    constant-color images across FOUR codec classes (by ``id % 8``),
+    odd ids square-wave 16-bit PCM WAVs.
 
-    Every decoded feature is a closed-form integer function of the id
-    (constant color → channel mean = c/255 exactly, std = 0; square
-    wave → RMS = peak = v/32768 exactly), which lets an external SQL
-    oracle value-check the REAL decode path end-to-end without being
-    able to decode PNG/WAV itself (driver query ``media_decode``)."""
+    Image classes — all with the SAME decoded pixels, so the decoded
+    features share one closed form while the byte paths differ:
+
+    - ``id % 8 == 0`` — palette PNG (color type 3 + PLTE): indices all
+      ``id % 7`` into a 16-entry palette where ONLY that entry holds
+      the target color (any index/entry mix-up changes the mean)
+    - ``id % 8 == 2`` — 16-bit RGB PNG with samples c·257 (the 8-bit
+      replication: c·257/65535 ≡ c/255 exactly, so the feature scale
+      contract is value-checked, not just exercised)
+    - ``id % 8 == 4`` — 24-bit BI_RGB BMP (bottom-up, padded rows)
+    - ``id % 8 == 6`` — 8-bit truecolor RGB PNG
+
+    PNG classes cycle ``row_filter = (id // 2) % 5``, so all five
+    filter reconstructions run across the corpus. Every decoded
+    feature is a closed-form integer function of the id (constant
+    color → channel mean = c/255 exactly, std = 0; square wave →
+    RMS = peak = v/32768 exactly), which lets an external SQL oracle
+    value-check the REAL decode paths end-to-end without being able
+    to decode PNG/BMP/WAV itself (driver query ``media_decode``)."""
 
     def gen(batches):
         for pdf in batches:
@@ -388,10 +555,34 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                 did = int(did)
                 if did % 2 == 0:
                     h, w = 3 + did % 4, 4 + did % 5
+                    color = ((37 * did) % 256, (91 * did) % 256, (53 * did) % 256)
                     arr = np.zeros((h, w, 3), np.uint8)
-                    arr[:, :] = ((37 * did) % 256, (91 * did) % 256, (53 * did) % 256)
-                    content = encode_png(arr, row_filter=(did // 2) % 5)
-                    rows.append((did, "image", content, "image/png", w, h, None))
+                    arr[:, :] = color
+                    cls = did % 8
+                    if cls == 0:
+                        idx = did % 7
+                        pal = np.arange(16 * 3, dtype=np.uint8).reshape(16, 3)
+                        pal = (pal * 19 + 7) % 256  # filler entries
+                        pal[idx] = color
+                        content = encode_png(
+                            np.full((h, w), idx, np.uint8),
+                            row_filter=(did // 2) % 5,
+                            palette=pal,
+                        )
+                        mime = "image/png"
+                    elif cls == 2:
+                        content = encode_png(
+                            arr.astype(np.uint16) * 257,
+                            row_filter=(did // 2) % 5,
+                        )
+                        mime = "image/png"
+                    elif cls == 4:
+                        content = encode_bmp(arr)
+                        mime = "image/bmp"
+                    else:
+                        content = encode_png(arr, row_filter=(did // 2) % 5)
+                        mime = "image/png"
+                    rows.append((did, "image", content, mime, w, h, None))
                 else:
                     ms = 100 + 10 * did  # rate 8000 → n = 8·ms frames
                     v = 1000 + 500 * (did % 60)  # exact int16 code

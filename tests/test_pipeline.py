@@ -233,6 +233,64 @@ def test_png_codec_roundtrip_all_filters():
         decode_png(b"JFIF....not png")
 
 
+def test_png_palette_and_16bit_roundtrip():
+    """Color type 3 (PLTE) expands to the palette's RGB exactly, and
+    16-bit samples survive the byte-wise filter reconstruction (the
+    filter offset is bpp BYTES, not pixels — a bpp bug shreds 16-bit
+    rows while leaving 8-bit ones intact)."""
+    import numpy as np
+
+    from aduana_spark.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    for filt in range(5):
+        idx = rng.randint(0, 16, (6, 9), dtype=np.uint8)
+        pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+        got = decode_png(encode_png(idx, row_filter=filt, palette=pal))
+        assert got.dtype == np.uint8 and np.array_equal(got, pal[idx])
+        a16 = rng.randint(0, 65536, (5, 7, 3)).astype(np.uint16)
+        got16 = decode_png(encode_png(a16, row_filter=filt))
+        assert got16.dtype == np.uint16 and np.array_equal(got16, a16)
+    # 8-bit color c and its 16-bit replication c*257 must featurize
+    # identically (the /range scale contract)
+    from aduana_spark.pipeline.multimodal import image_features
+
+    a8 = rng.randint(0, 256, (4, 5, 3), dtype=np.uint8)
+    assert np.allclose(
+        image_features(a8, 12),
+        image_features(a8.astype(np.uint16) * 257, 12),
+        atol=1e-6,
+    )
+    # out-of-range palette index is data corruption, not a crash path
+    bad = encode_png(np.full((2, 2), 9, np.uint8), palette=pal[:4])
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+
+
+def test_bmp_roundtrip_and_dispatch():
+    """24-bit BI_RGB BMP: bottom-up and top-down row order, 4-byte
+    scanline padding (odd width), BGR→RGB order — pixel-exact."""
+    import numpy as np
+
+    from aduana_spark.pipeline.multimodal import (
+        _real_decode,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(13)
+    arr = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)  # 7*3=21 → pad 3
+    for td in (False, True):
+        assert np.array_equal(decode_bmp(encode_bmp(arr, top_down=td)), arr)
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PK\x03\x04" + bytes(64))
+    # magic-byte dispatch reaches the BMP decoder
+    feat = _real_decode(encode_bmp(arr), dim=8)
+    assert feat is not None and feat[0] == 5.0 and feat[1] == 7.0
+    # truncated payload → NULL (data, not exception)
+    assert _real_decode(encode_bmp(arr)[:60], dim=8) is None
+
+
 def test_wav_codec_and_audio_features():
     """WAV PCM16 roundtrip + closed-form audio features of a 440 Hz
     half-amplitude sine: duration exact, RMS = A/sqrt(2), zero
