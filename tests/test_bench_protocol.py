@@ -460,3 +460,22 @@ def test_merged_levels_unions_committed_windows(tmp_path, monkeypatch):
     )
     assert compact["merged"]["clean_supersteps"]["n2"] == 3
     assert len(json.dumps(compact)) < 1300
+
+
+def test_headline_query_contamination_adjudicator():
+    """The per-query retry loop (round-5) keys off the same verdict
+    main() publishes as ``contaminated_queries``: steal >= 2% of the
+    window, or kernel time >= 0.6x user (lock-holder-preemption
+    storm). A clean profile, a missing probe, and the boundary cases
+    must adjudicate exactly — a drifting gate either retries forever
+    (burning the budget) or publishes storm walls as clean."""
+    c = bench._query_contaminated
+    assert not c(None)
+    assert not c({})
+    assert not c({"user_pct": 90.0, "system_pct": 5.0, "steal_pct": 0.3})
+    assert c({"user_pct": 50.0, "system_pct": 1.0, "steal_pct": 2.0})
+    assert c({"user_pct": 50.0, "system_pct": 30.0, "steal_pct": 0.0})
+    assert not c({"user_pct": 50.0, "system_pct": 29.9, "steal_pct": 0.0})
+    # zero-user window (all-wait query): tiny kernel share must not
+    # divide-by-zero or flag
+    assert c({"user_pct": 0.0, "system_pct": 0.1, "steal_pct": 0.0})
