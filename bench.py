@@ -6,7 +6,7 @@ Runs the engine's headline operators over ``$SPARK_GRAFT_SF_DIR``
 prints ONE COMPACT JSON line (headline query times + per-level
 scaling minima + efficiencies). The full per-cycle probe/steal
 detail — too large for the driver's tail capture — is written to
-``BENCH_DETAIL_r4.json`` next to this file.
+``BENCH_DETAIL_r5.json`` next to this file.
 
 Scaling protocol (the north rule's two-cluster-size criterion,
 BASELINE.md — no real cluster in this sandbox):
@@ -1168,12 +1168,28 @@ def run_scaling(pairs=SCALING_PAIRS, repeats: int | None = None) -> dict:
     out["fault_probe_start_mb_s"] = round(fault_probe(32), 1)
     cycles: list[dict] = []
     target_clean = 4  # per level; hard gate below stays >=3
+    # Fixed-schedule sampling (ADVICE r4): a level is not "done" after
+    # one lucky cycle — each leg must contribute >= this many cycles
+    # that are themselves clean (>=3 clean supersteps), so a pair never
+    # rides on a single regime draw per leg. Triggered-only stopping is
+    # biased near the decision line; a fixed per-leg schedule is not.
+    # Budget/phase deadlines still cap everything, so a storm degrades
+    # to the round-4 behavior (one clean cycle) instead of stalling.
+    min_clean_cycles = int(os.environ.get("SPARK_GRAFT_MIN_CLEAN_CYCLES", "2"))
 
     def _clean_count(cores: int) -> int:
         return sum(
             len(cycle_clean_supersteps(c["supersteps"], cores))
             for c in cycles
             if c["cores"] == cores
+        )
+
+    def _clean_cycles(cores: int) -> int:
+        return sum(
+            1
+            for c in cycles
+            if c["cores"] == cores
+            and len(cycle_clean_supersteps(c["supersteps"], cores)) >= 3
         )
 
     def _cycles_run(cores: int) -> int:
@@ -1228,7 +1244,10 @@ def run_scaling(pairs=SCALING_PAIRS, repeats: int | None = None) -> dict:
         phase_deadline = t_start + phase_frac[min(phase_i, 2)] * budget_sec
         for cycle_i in range(repeats):
             for cores in pair:
-                if _clean_count(cores) >= target_clean:
+                if (
+                    _clean_count(cores) >= target_clean
+                    and _clean_cycles(cores) >= min_clean_cycles
+                ):
                     continue
                 if _cycles_run(cores) >= repeats:
                     continue
@@ -1357,7 +1376,7 @@ def run_scaling(pairs=SCALING_PAIRS, repeats: int | None = None) -> dict:
 # Ad-hoc/smoke runs can point the detail artifact elsewhere so they
 # don't clobber the curated round evidence next to this file.
 DETAIL_FILE = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_r4.json"
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_r5.json"
 )
 
 
@@ -1429,7 +1448,7 @@ def _compact_scaling(scaling: dict, core_levels=(2, 8, 4, 16, 32)) -> dict:
     # clean-window builder measurements under the identical protocol
     # (full per-superstep evidence committed in-repo) — relevant when
     # this run's window is steal-stormy and levels come back refused
-    out["builder_evidence_file"] = "BENCH_BUILDER_r4.json"
+    out["builder_evidence_file"] = "BENCH_BUILDER_r5.json"
     return out
 
 

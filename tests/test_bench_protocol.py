@@ -350,7 +350,7 @@ def test_skip_scaling_detail_never_clobbers_curated_artifact(monkeypatch):
     assert bench._detail_path(skip_scaling=False) == bench.DETAIL_FILE
     skip = bench._detail_path(skip_scaling=True)
     assert skip != bench.DETAIL_FILE
-    assert "BENCH_DETAIL_r4" not in skip
+    assert "BENCH_DETAIL_r5" not in skip
     monkeypatch.setenv("SPARK_GRAFT_DETAIL_PATH", "/tmp/explicit.json")
     assert bench._detail_path(skip_scaling=True) == bench.DETAIL_FILE
 
