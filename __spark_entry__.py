@@ -688,10 +688,11 @@ def _q_contamination(spark, sf_dir):
 
 def _q_media_decode(spark, sf_dir):
     # REAL multimodal decode end-to-end (multimodal.py): synthesized
-    # constant-color images across FOUR codec classes by id%8 —
+    # constant-color images across FIVE codec classes by id%10 —
     # palette PNG (PLTE expansion), 16-bit RGB PNG (c·257 samples,
     # value-checking the /65535 scale contract), 24-bit BMP
-    # (bottom-up + padded rows), 8-bit truecolor PNG — PNG classes
+    # (bottom-up + padded rows), GIF89a (LZW + color table,
+    # alternating interlaced rows), 8-bit truecolor PNG — PNG classes
     # cycling all 5 row filters, plus square-wave PCM WAVs. All image
     # classes decode to the SAME constant pixels, so one closed form
     # covers every codec path: channel mean is exactly c/255, std
@@ -1226,9 +1227,9 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": """
             -- closed-form expectations for the REAL PNG/BMP/WAV
             -- decode: even ids are constant-color (r,g,b) images of
-            -- size (3+id%4) x (4+id%5) across four codec classes by
-            -- id%8 (palette PNG / 16-bit PNG / 24-bit BMP / 8-bit
-            -- PNG) that all decode to the SAME pixels — channel mean
+            -- size (3+id%4) x (4+id%5) across five codec classes by
+            -- id%10 (palette PNG / 16-bit PNG / 24-bit BMP / GIF /
+            -- 8-bit PNG) that all decode to the SAME pixels — mean
             -- is exactly c/255 and std exactly 0 regardless of
             -- class; odd ids are square-wave PCM16 WAVs with int16
             -- code v = 1000+500*(id%60) at 8 kHz for 100+10*id ms —

@@ -5,11 +5,13 @@ Decoders, by fidelity:
 
 - ``decoder='real'`` — REAL decode for the formats the environment's
   stdlib can express: PNG (zlib inflate + full filter-0..4 / Paeth
-  reconstruction, 8-bit gray/RGB/gray+A/RGBA) and WAV (PCM via
-  ``wave``), with real features (per-channel image stats / RMS, zero
-  crossings, FFT spectral centroid for audio). Rows whose codec the
-  environment cannot decode (mp4/jpeg/ogg need pyav/Pillow/libsnd,
-  absent here) yield ``feature = NULL`` instead of killing the job —
+  reconstruction; 8/16-bit gray/RGB/gray+A/RGBA and palette), BMP
+  (24-bit BI_RGB), GIF (LZW, interlace, local/global color tables)
+  and WAV (PCM via ``wave``), with real features (per-channel image
+  stats / RMS, zero crossings, FFT spectral centroid for audio).
+  Rows whose codec the environment cannot decode (mp4/jpeg/ogg need
+  pyav/Pillow/libsnd, absent here) yield ``feature = NULL`` instead
+  of killing the job —
   at 10^12 rows a corrupt or exotic blob is data, not an exception;
   filter on ``feature IS NULL`` downstream.
 - ``decoder='fake'`` (default) — deterministic features derived from
@@ -343,6 +345,220 @@ def encode_bmp(arr: np.ndarray, top_down: bool = False) -> bytes:
     return file_hdr + info + pixels
 
 
+_GIF_MAGIC = (b"GIF87a", b"GIF89a")
+# interlace passes (GIF89a spec, appendix E): rows 0::8, 4::8, 2::4, 1::2
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(h: int) -> list:
+    """Display-row index of each stream row of an interlaced image."""
+    order: list = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def _lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
+    """GIF-flavor LZW (spec 89a appendix F): LSB-first bit packing,
+    CLEAR/END control codes, code width mcs+1 growing to a hard 12-bit
+    cap. Width bumps AFTER the table entry that fills the current
+    width is inserted (the giflib "late change" convention); at 4096
+    entries insertion stops until a CLEAR (deferred-clear tolerant).
+    Streaming byte-accumulator reader — O(n), no big-int shifting."""
+    clear = 1 << mcs
+    end_code = clear + 1
+    width = mcs + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nacc = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nacc < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            del table[clear + 2 :]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end_code:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt GIF LZW stream")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel data short")
+    return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+
+
+def _lzw_encode(data: bytes, mcs: int) -> bytes:
+    """GIF LZW encoder mirroring ``_lzw_decode``'s width timing: a
+    code is packed at the CURRENT width, then the width check runs
+    against the next free slot as of before this step's insertion
+    (classic compress()-derived GIF writer order), then the new
+    string is inserted. Emits CLEAR and resets when the table is
+    full, so the decoder's 4096-entry cap is actually exercised."""
+    clear = 1 << mcs
+    end_code = clear + 1
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    width = mcs + 1
+
+    def pack(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    pack(clear)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        pack(table[w])
+        if next_code > (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+        else:
+            pack(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = clear + 2
+            width = mcs + 1
+        w = bytes([byte])
+    if w:
+        pack(table[w])
+        if next_code > (1 << width) - 1 and width < 12:
+            width += 1
+    pack(end_code)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """Minimal stdlib-only GIF decoder: first frame of an 87a/89a
+    stream → (H, W, 3) uint8 RGB. Global or local color table,
+    interlaced or sequential row order; extensions are skipped.
+    Raises ValueError on non-GIF/corrupt bytes (the mapInPandas
+    wrapper degrades those rows to NULL, same as PNG/BMP/WAV)."""
+    if content[:6] not in _GIF_MAGIC:
+        raise ValueError("not a GIF")
+    packed = content[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(content[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label then sub-blocks
+            pos += 1
+            while content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _, _, w, h, ipacked = struct.unpack("<HHHHB", content[pos : pos + 9])
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(
+                content[pos : pos + 3 * n], np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        mcs = content[pos]
+        pos += 1
+        data = bytearray()
+        while content[pos]:
+            ln = content[pos]
+            data += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(data), mcs, w * h)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF palette index out of range")
+        img = pal[idx].reshape(h, w, 3)
+        if ipacked & 0x40:  # interlaced: stream row i is display row order[i]
+            disp = np.empty_like(img)
+            disp[_gif_row_order(h)] = img
+            img = disp
+        return img
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """Minimal GIF89a encoder: (H, W) uint8 indices + (k, 3) uint8
+    palette, genuine LZW compression (table growth, width bumps,
+    full-table CLEAR — so roundtrip tests exercise the real decoder
+    paths, not a degenerate literal stream)."""
+    if indices.ndim != 2:
+        raise ValueError("GIF encoder takes (H, W) index array")
+    h, w = indices.shape
+    bits = max(1, (max(len(palette), 2) - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), np.uint8)
+    pal[: len(palette)] = palette
+    mcs = max(2, bits)
+    header = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        + pal.tobytes()
+    )
+    rows = indices.astype(np.uint8)
+    ipk = 0
+    if interlace:
+        rows = rows[_gif_row_order(h)]
+        ipk = 0x40
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipk)
+    lzw = _lzw_encode(rows.ravel().tobytes(), mcs)
+    blocks = bytearray([mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return header + desc + bytes(blocks) + b"\x3b"
+
+
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     """Decode a PCM WAV via the stdlib ``wave`` module to
     (samples float64 in [-1, 1], shape (n_frames, channels); rate)."""
@@ -446,6 +662,8 @@ def _real_decode(content: bytes, dim: int) -> list | None:
             return image_features(decode_png(content), dim).tolist()
         if content[:2] == b"BM" and len(content) >= 54:
             return image_features(decode_bmp(content), dim).tolist()
+        if content[:6] in _GIF_MAGIC:
+            return image_features(decode_gif(content), dim).tolist()
         if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             pcm, rate = decode_wav(content)
             return audio_features(pcm, rate, dim).tolist()
@@ -525,20 +743,23 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic media corpus keyed by ``doc_id``: even ids become
-    constant-color images across FOUR codec classes (by ``id % 8``),
+    constant-color images across FIVE codec classes (by ``id % 10``),
     odd ids square-wave 16-bit PCM WAVs.
 
     Image classes — all with the SAME decoded pixels, so the decoded
     features share one closed form while the byte paths differ:
 
-    - ``id % 8 == 0`` — palette PNG (color type 3 + PLTE): indices all
-      ``id % 7`` into a 16-entry palette where ONLY that entry holds
-      the target color (any index/entry mix-up changes the mean)
-    - ``id % 8 == 2`` — 16-bit RGB PNG with samples c·257 (the 8-bit
+    - ``id % 10 == 0`` — palette PNG (color type 3 + PLTE): indices
+      all ``id % 7`` into a 16-entry palette where ONLY that entry
+      holds the target color (any index/entry mix-up changes the mean)
+    - ``id % 10 == 2`` — 16-bit RGB PNG with samples c·257 (the 8-bit
       replication: c·257/65535 ≡ c/255 exactly, so the feature scale
       contract is value-checked, not just exercised)
-    - ``id % 8 == 4`` — 24-bit BI_RGB BMP (bottom-up, padded rows)
-    - ``id % 8 == 6`` — 8-bit truecolor RGB PNG
+    - ``id % 10 == 4`` — 24-bit BI_RGB BMP (bottom-up, padded rows)
+    - ``id % 10 == 6`` — GIF89a (LZW + 16-entry color table, same
+      single-live-entry trick as the palette PNG; alternating
+      interlaced/sequential row order by ``(id // 2) % 2``)
+    - ``id % 10 == 8`` — 8-bit truecolor RGB PNG
 
     PNG classes cycle ``row_filter = (id // 2) % 5``, so all five
     filter reconstructions run across the corpus. Every decoded
@@ -558,7 +779,7 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                     color = ((37 * did) % 256, (91 * did) % 256, (53 * did) % 256)
                     arr = np.zeros((h, w, 3), np.uint8)
                     arr[:, :] = color
-                    cls = did % 8
+                    cls = did % 10
                     if cls == 0:
                         idx = did % 7
                         pal = np.arange(16 * 3, dtype=np.uint8).reshape(16, 3)
@@ -579,6 +800,17 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                     elif cls == 4:
                         content = encode_bmp(arr)
                         mime = "image/bmp"
+                    elif cls == 6:
+                        idx = did % 7
+                        pal = np.arange(16 * 3, dtype=np.uint8).reshape(16, 3)
+                        pal = (pal * 23 + 11) % 256  # filler entries
+                        pal[idx] = color
+                        content = encode_gif(
+                            np.full((h, w), idx, np.uint8),
+                            pal,
+                            interlace=bool((did // 2) % 2),
+                        )
+                        mime = "image/gif"
                     else:
                         content = encode_png(arr, row_filter=(did // 2) % 5)
                         mime = "image/png"

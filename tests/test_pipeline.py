@@ -634,3 +634,37 @@ def test_embedding_near_duplicates_bucket_cap(spark):
         ).collect()
     }
     assert (0, 1) in uncapped and (100, 101) in uncapped
+
+
+def test_gif_codec_roundtrip_and_dispatch():
+    """GIF LZW roundtrip pixel-exact across palette sizes 2/16/256,
+    interlaced and sequential row order. The 80x60 random 256-color
+    image forces >4096 table entries, so the encoder's full-table
+    CLEAR + the decoder's 12-bit width cap actually run; the constant
+    image drives the KwKwK (code == next-free-slot) path."""
+    import numpy as np
+
+    from aduana_spark.pipeline.multimodal import (
+        _real_decode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(17)
+    for n_colors, shape in ((2, (5, 9)), (16, (7, 6)), (256, (80, 60))):
+        pal = rng.randint(0, 256, (n_colors, 3), dtype=np.uint8)
+        idx = rng.randint(0, n_colors, shape, dtype=np.uint8)
+        for il in (False, True):
+            got = decode_gif(encode_gif(idx, pal, interlace=il))
+            assert got.dtype == np.uint8 and np.array_equal(got, pal[idx])
+    # constant image: the encoder emits the just-inserted code (KwKwK)
+    const = np.full((6, 11), 3, np.uint8)
+    pal16 = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(const, pal16)), pal16[const])
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"RIFF....WEBP" + bytes(32))
+    # magic-byte dispatch reaches the GIF decoder with real dimensions
+    feat = _real_decode(encode_gif(const, pal16), dim=8)
+    assert feat is not None and feat[0] == 6.0 and feat[1] == 11.0
+    # truncated payload degrades to NULL (data, not exception)
+    assert _real_decode(encode_gif(const, pal16)[:30], dim=8) is None
