@@ -688,18 +688,21 @@ def _q_contamination(spark, sf_dir):
 
 def _q_media_decode(spark, sf_dir):
     # REAL multimodal decode end-to-end (multimodal.py): synthesized
-    # constant-color images across FIVE codec classes by id%10 —
+    # constant-color images across SIX codec classes by id%10 —
     # palette PNG (PLTE expansion), 16-bit RGB PNG (c·257 samples,
     # value-checking the /65535 scale contract), 24-bit BMP
     # (bottom-up + padded rows), GIF89a (LZW + color table,
-    # alternating interlaced rows), 8-bit truecolor PNG — PNG classes
-    # cycling all 5 row filters, plus square-wave PCM WAVs. All image
-    # classes decode to the SAME constant pixels, so one closed form
-    # covers every codec path: channel mean is exactly c/255, std
-    # exactly 0; square wave → RMS = peak = v/32768 exactly. Scaling
-    # the features back to integers makes every output column a
-    # closed-form function of doc_id alone, so DuckDB value-checks
-    # the decodes without decoding PNG/BMP/WAV itself.
+    # alternating interlaced rows), and the 8 slot split between
+    # 8-bit truecolor PNG and baseline JPEG (jpeg.py: Huffman + DCT
+    # + YCbCr, gray constant color so the lossy pipeline is
+    # integer-exact) — PNG classes cycling all 5 row filters, plus
+    # square-wave PCM WAVs. All image classes decode to constant
+    # pixels with one closed form: channel mean is exactly c/255
+    # (c = g for the gray JPEG rows), std exactly 0; square wave →
+    # RMS = peak = v/32768 exactly. Scaling the features back to
+    # integers makes every output column a closed-form function of
+    # doc_id alone, so DuckDB value-checks the decodes without
+    # decoding PNG/BMP/GIF/JPEG/WAV itself.
     from aduana_spark.pipeline.multimodal import (
         extract_media_features,
         synthesize_media,
@@ -1227,11 +1230,14 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": """
             -- closed-form expectations for the REAL PNG/BMP/WAV
             -- decode: even ids are constant-color (r,g,b) images of
-            -- size (3+id%4) x (4+id%5) across five codec classes by
+            -- size (3+id%4) x (4+id%5) across six codec classes by
             -- id%10 (palette PNG / 16-bit PNG / 24-bit BMP / GIF /
-            -- 8-bit PNG) that all decode to the SAME pixels — mean
-            -- is exactly c/255 and std exactly 0 regardless of
-            -- class; odd ids are square-wave PCM16 WAVs with int16
+            -- 8-bit PNG, with the 8 slot split to baseline JPEG
+            -- when (id//10)%2=1 — JPEG rows use the gray constant
+            -- (g,g,g), g=(37*id)%256, the color family where the
+            -- lossy pipeline is integer-exact) — mean is exactly
+            -- c/255 and std exactly 0 regardless of class; odd ids
+            -- are square-wave PCM16 WAVs with int16
             -- code v = 1000+500*(id%60) at 8 kHz for 100+10*id ms —
             -- decoded RMS and peak are exactly v/32768. DuckDB
             -- cannot decode PNG/BMP/WAV; it recomputes the integers
@@ -1248,13 +1254,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE -1 END AS channels,
                    CASE WHEN doc_id % 2 = 0 THEN (37 * doc_id) % 256 ELSE -1
                      END AS mean_r,
-                   CASE WHEN doc_id % 2 = 0 THEN (91 * doc_id) % 256 ELSE -1
-                     END AS mean_g,
-                   CASE WHEN doc_id % 2 = 0 THEN (53 * doc_id) % 256 ELSE -1
-                     END AS mean_b,
-                   CASE WHEN doc_id % 2 = 0 THEN
-                     (37 * doc_id) % 256 + (91 * doc_id) % 256
-                     + (53 * doc_id) % 256 ELSE -1 END AS rgb_sum,
+                   CASE WHEN doc_id % 2 = 1 THEN -1
+                        WHEN doc_id % 10 = 8 AND (doc_id // 10) % 2 = 1
+                          THEN (37 * doc_id) % 256
+                        ELSE (91 * doc_id) % 256 END AS mean_g,
+                   CASE WHEN doc_id % 2 = 1 THEN -1
+                        WHEN doc_id % 10 = 8 AND (doc_id // 10) % 2 = 1
+                          THEN (37 * doc_id) % 256
+                        ELSE (53 * doc_id) % 256 END AS mean_b,
+                   CASE WHEN doc_id % 2 = 1 THEN -1
+                        WHEN doc_id % 10 = 8 AND (doc_id // 10) % 2 = 1
+                          THEN 3 * ((37 * doc_id) % 256)
+                        ELSE (37 * doc_id) % 256 + (91 * doc_id) % 256
+                             + (53 * doc_id) % 256 END AS rgb_sum,
                    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE -1 END AS stds_milli,
                    CASE WHEN doc_id % 2 = 1 THEN 100 + 10 * doc_id ELSE -1 END
                      AS dur_ms,

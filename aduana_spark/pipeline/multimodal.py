@@ -6,12 +6,14 @@ Decoders, by fidelity:
 - ``decoder='real'`` — REAL decode for the formats the environment's
   stdlib can express: PNG (zlib inflate + full filter-0..4 / Paeth
   reconstruction; 8/16-bit gray/RGB/gray+A/RGBA and palette), BMP
-  (24-bit BI_RGB), GIF (LZW, interlace, local/global color tables)
-  and WAV (PCM via ``wave``), with real features (per-channel image
-  stats / RMS, zero crossings, FFT spectral centroid for audio).
-  Rows whose codec the environment cannot decode (mp4/jpeg/ogg need
-  pyav/Pillow/libsnd, absent here) yield ``feature = NULL`` instead
-  of killing the job —
+  (24-bit BI_RGB), GIF (LZW, interlace, local/global color tables),
+  baseline JPEG (SOF0/SOF1 Huffman + DCT, grayscale and 4:4:4 —
+  ``jpeg.py``) and WAV (PCM via ``wave``), with real features
+  (per-channel image stats / RMS, zero crossings, FFT spectral
+  centroid for audio).
+  Rows whose codec the environment cannot decode (mp4/ogg need
+  pyav/libsnd, absent here; ditto progressive/subsampled JPEG
+  variants) yield ``feature = NULL`` instead of killing the job —
   at 10^12 rows a corrupt or exotic blob is data, not an exception;
   filter on ``feature IS NULL`` downstream.
 - ``decoder='fake'`` (default) — deterministic features derived from
@@ -41,6 +43,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from .jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -664,12 +668,17 @@ def _real_decode(content: bytes, dim: int) -> list | None:
             return image_features(decode_bmp(content), dim).tolist()
         if content[:6] in _GIF_MAGIC:
             return image_features(decode_gif(content), dim).tolist()
+        if content[:2] == b"\xff\xd8":
+            return image_features(decode_jpeg(content), dim).tolist()
         if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             pcm, rate = decode_wav(content)
             return audio_features(pcm, rate, dim).tolist()
     except Exception:
+        # includes NotImplementedError from out-of-scope JPEG
+        # variants (progressive/subsampled/arithmetic): data, not
+        # an exception, at crawl scale
         return None
-    return None  # mp4/jpeg/ogg/... need pyav/Pillow, absent here
+    return None  # mp4/ogg/... need pyav/libsnd, absent here
 
 
 def _fake_decode(content: bytes, dim: int) -> np.ndarray:
@@ -743,8 +752,9 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic media corpus keyed by ``doc_id``: even ids become
-    constant-color images across FIVE codec classes (by ``id % 10``),
-    odd ids square-wave 16-bit PCM WAVs.
+    constant-color images across SIX codec classes (by ``id % 10``,
+    with the ``8`` slot split by ``(id // 10) % 2``), odd ids
+    square-wave 16-bit PCM WAVs.
 
     Image classes — all with the SAME decoded pixels, so the decoded
     features share one closed form while the byte paths differ:
@@ -759,7 +769,16 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     - ``id % 10 == 6`` — GIF89a (LZW + 16-entry color table, same
       single-live-entry trick as the palette PNG; alternating
       interlaced/sequential row order by ``(id // 2) % 2``)
-    - ``id % 10 == 8`` — 8-bit truecolor RGB PNG
+    - ``id % 10 == 8``, ``(id // 10) % 2 == 0`` — 8-bit truecolor
+      RGB PNG
+    - ``id % 10 == 8``, ``(id // 10) % 2 == 1`` — baseline JPEG
+      (3-component 4:4:4, all-ones quant). JPEG rows use the GRAY
+      constant ``(g, g, g)`` with ``g = (37·id) % 256``: for
+      ``r = g = b`` the RGB→YCbCr transform is exact (Y = g,
+      Cb = Cr = 128), a flat plane's DCT is DC-only with an integer
+      DC, and YCbCr→RGB is exact again — the one color family where
+      the FULL JPEG color pipeline round-trips bit-exactly, keeping
+      the oracle's closed form (``jpeg.py`` module docstring)
 
     PNG classes cycle ``row_filter = (id // 2) % 5``, so all five
     filter reconstructions run across the corpus. Every decoded
@@ -767,7 +786,8 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     color → channel mean = c/255 exactly, std = 0; square wave →
     RMS = peak = v/32768 exactly), which lets an external SQL oracle
     value-check the REAL decode paths end-to-end without being able
-    to decode PNG/BMP/WAV itself (driver query ``media_decode``)."""
+    to decode PNG/BMP/GIF/JPEG/WAV itself (driver query
+    ``media_decode``)."""
 
     def gen(batches):
         for pdf in batches:
@@ -811,6 +831,11 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                             interlace=bool((did // 2) % 2),
                         )
                         mime = "image/gif"
+                    elif (did // 10) % 2 == 1:
+                        g = (37 * did) % 256
+                        arr[:, :] = (g, g, g)  # gray: exact JPEG path
+                        content = encode_jpeg(arr)
+                        mime = "image/jpeg"
                     else:
                         content = encode_png(arr, row_filter=(did // 2) % 5)
                         mime = "image/png"

@@ -668,3 +668,99 @@ def test_gif_codec_roundtrip_and_dispatch():
     assert feat is not None and feat[0] == 6.0 and feat[1] == 11.0
     # truncated payload degrades to NULL (data, not exception)
     assert _real_decode(encode_gif(const, pal16)[:30], dim=8) is None
+
+
+def test_jpeg_codec_roundtrip_and_dispatch():
+    """Baseline JPEG (jpeg.py: Annex-K Huffman + DCT + 4:4:4 YCbCr).
+    Constant images round-trip bit-exactly (flat plane -> DC-only
+    blocks with integer DC; r=g=b makes the color transform exact) —
+    the property the media_decode oracle value-checks. Random images
+    at the all-ones quant table are near-lossless (|err| <= 2 from
+    the two float rounding points); a real lossy quant table still
+    decodes to the right shape. Out-of-scope variants degrade to
+    NULL through the dispatch, never an exception."""
+    import numpy as np
+
+    from aduana_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from aduana_spark.pipeline.multimodal import _real_decode
+
+    rng = np.random.RandomState(21)
+    # constant gray-RGB: bit-exact through the FULL color pipeline
+    for v in (0, 37, 128, 255):
+        img = np.full((11, 14, 3), v, np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
+    # constant 1-component grayscale: bit-exact
+    gimg = np.full((9, 23), 200, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(gimg)), gimg)
+    # random content at quant=1: near-lossless, exact dims
+    img = rng.randint(0, 256, (24, 17, 3), np.uint8)
+    got = decode_jpeg(encode_jpeg(img))
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+    gimg = rng.randint(0, 256, (16, 40), np.uint8)
+    got = decode_jpeg(encode_jpeg(gimg))
+    assert np.abs(got.astype(int) - gimg.astype(int)).max() <= 1
+    # a non-trivial quant table exercises the dequant path
+    q = np.full(64, 16, np.int64)
+    q[0] = 8
+    lossy = decode_jpeg(encode_jpeg(img, quant=q))
+    assert lossy.shape == img.shape
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n" + bytes(16))
+    # magic-byte dispatch reaches the JPEG decoder with real dims
+    feat = _real_decode(encode_jpeg(np.full((6, 11, 3), 50, np.uint8)), 8)
+    assert feat is not None and feat[0] == 6.0 and feat[1] == 11.0
+    assert abs(feat[4] - 50.0 / 255.0) < 1e-6  # exact channel mean
+    # truncated payload degrades to NULL (data, not exception)
+    assert _real_decode(encode_jpeg(img)[:40], dim=8) is None
+
+
+def test_jpeg_rejects_out_of_scope_variants():
+    """The decoder REFUSES (NotImplementedError) rather than
+    mis-decodes anything outside baseline 8-bit 4:4:4: progressive
+    SOF2, subsampled 4:2:0, 16-bit DQT, nonzero restart interval —
+    each hand-patched into a valid stream so only the tested field
+    differs. The mapInPandas dispatch turns each into a NULL row."""
+    import numpy as np
+
+    from aduana_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from aduana_spark.pipeline.multimodal import _real_decode
+
+    base = bytearray(encode_jpeg(np.full((8, 8, 3), 90, np.uint8)))
+
+    def find_marker(buf, m):
+        i = 2
+        while i < len(buf) - 1:
+            if buf[i] == 0xFF and buf[i + 1] == m:
+                return i
+            if buf[i] == 0xFF and buf[i + 1] not in (0x00, 0x01):
+                seglen = (buf[i + 2] << 8) | buf[i + 3]
+                i += 2 + seglen
+            else:
+                i += 1
+        raise AssertionError(f"marker {m:02x} not found")
+
+    # progressive: flip SOF0 -> SOF2
+    prog = bytearray(base)
+    prog[find_marker(prog, 0xC0) + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive|SOF"):
+        decode_jpeg(bytes(prog))
+    assert _real_decode(bytes(prog), 8) is None
+    # subsampling: set component 1 h,v = 2,2 in SOF
+    sub = bytearray(base)
+    sof = find_marker(sub, 0xC0)
+    sub[sof + 2 + 2 + 6 + 1] = 0x22  # comp 0 hv byte
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(sub))
+    # 16-bit DQT: set Pq=1
+    dq = bytearray(base)
+    dqt = find_marker(dq, 0xDB)
+    dq[dqt + 4] = 0x10
+    with pytest.raises(NotImplementedError, match="16-bit DQT"):
+        decode_jpeg(bytes(dq))
+    # restart interval: splice a DRI(interval=2) before SOS
+    dri = bytearray(base)
+    sos = find_marker(dri, 0xDA)
+    dri[sos:sos] = b"\xff\xdd\x00\x04\x00\x02"
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(bytes(dri))
