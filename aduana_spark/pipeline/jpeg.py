@@ -8,9 +8,12 @@ and degrades to a NULL feature row behind the mapInPandas wrapper,
 the same contract as PNG/BMP/GIF/WAV):
 
 - baseline/extended sequential DCT (SOF0/SOF1), 8-bit samples
-- grayscale (1 component) and 4:4:4 YCbCr (3 components, h=v=1)
-- no restart intervals (a DRI with a non-zero interval is refused),
-  no progressive (SOF2), no arithmetic coding, no 16-bit DQT
+- grayscale (1 component) and YCbCr (3 components) with sampling
+  factors in {1, 2} per axis — 4:4:4, 4:2:2 and 4:2:0 (chroma
+  upsampled by replication on decode)
+- DRI/RSTn restart intervals (sequence-number verified)
+- no progressive (SOF2), no arithmetic coding, no 16-bit DQT, no
+  sampling factors > 2, no multi-scan
 
 The encoder exists so tests and `synthesize_media` can fabricate
 deterministic JPEG payloads without Pillow: standard Annex K Huffman
@@ -175,10 +178,19 @@ class _BitWriter:
                 self._acc = 0
                 self._n = 0
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad the current byte with 1-bits (T.81 B.2.1 fill bits) —
+        the byte-alignment restart markers require."""
         if self._n:
             pad = 8 - self._n
             self.put((1 << pad) - 1, pad)
+
+    def put_marker(self, marker: int) -> None:
+        """Emit a raw marker (no stuffing) — caller must align() first."""
+        self.out += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -218,6 +230,21 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, n: int) -> None:
+        """Consume an RSTn marker: drop fill bits to the byte
+        boundary, expect 0xFFD0+n (T.81 F.2.1.3.1). The modulo-8
+        sequence number is verified — a skipped or doubled restart
+        means the scan lost sync."""
+        self._n = 0  # byte-align: discard remaining fill bits
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG entropy stream truncated at restart")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + (n % 8):
+            raise ValueError(
+                f"expected RST{n % 8} marker, found 0x{b0:02X}{b1:02X}"
+            )
+        self.pos += 2
 
 
 def _read_symbol(r: _BitReader, table: dict) -> int:
@@ -307,22 +334,6 @@ def _decode_block_zz(
 # ---- encoder ---------------------------------------------------------
 
 
-def _to_blocks(plane: np.ndarray) -> tuple:
-    """Pad (H, W) to 8-multiples by edge replication and split into
-    (n, 8, 8) row-major blocks."""
-    h, w = plane.shape
-    by, bx = -(-h // 8), -(-w // 8)
-    padded = np.pad(
-        plane.astype(np.float64),
-        ((0, by * 8 - h), (0, bx * 8 - w)),
-        mode="edge",
-    )
-    blocks = (
-        padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    )
-    return blocks, by, bx
-
-
 def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
     r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -343,6 +354,23 @@ def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
+# (horizontal factor, vertical factor) of the LUMA component; chroma
+# is always 1x1 — the universal convention (4:2:0 means Y sampled 2x2
+# per chroma sample)
+_SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+
+def _downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Box-average downsample by (fv, fh) with edge padding to full
+    boxes — exact for constant planes (the oracle's color family)."""
+    if fh == 1 and fv == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // fv) * fv, -(-w // fh) * fh
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
+
+
 def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
@@ -352,12 +380,22 @@ def _dht_payload(cls: int, tid: int, spec: tuple) -> bytes:
     return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values)
 
 
-def encode_jpeg(arr: np.ndarray, quant=1) -> bytes:
+def encode_jpeg(
+    arr: np.ndarray,
+    quant=1,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
     """Minimal baseline JPEG encoder: (H, W) uint8 grayscale or
-    (H, W, 3) uint8 RGB (written as 4:4:4 YCbCr). ``quant`` is a
-    scalar or a 64-entry table in NATURAL order applied to every
-    component (default all-ones: near-lossless, integer-exact for
-    constant images — see module docstring)."""
+    (H, W, 3) uint8 RGB as YCbCr with ``subsampling`` in
+    {"4:4:4", "4:2:2", "4:2:0"} (chroma box-averaged — exact for
+    constant planes). ``quant`` is a scalar or a 64-entry table in
+    NATURAL order applied to every component (default all-ones:
+    near-lossless, integer-exact for constant images — see module
+    docstring). ``restart_interval`` > 0 emits a DRI segment and an
+    RSTn marker every that-many MCUs (T.81 F.1.2.3) — the structure
+    real encoders use for error resilience, here mostly so the
+    decoder's restart path has a stdlib-only test generator."""
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg takes uint8 samples")
     gray = arr.ndim == 2
@@ -366,6 +404,11 @@ def encode_jpeg(arr: np.ndarray, quant=1) -> bytes:
     h, w = arr.shape[:2]
     if not (0 < h < 65536 and 0 < w < 65536):
         raise ValueError("bad JPEG dimensions")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    if not 0 <= int(restart_interval) < 65536:
+        raise ValueError("restart_interval must be 0..65535")
+    restart_interval = int(restart_interval)
     q_nat = (
         np.full(64, int(quant), dtype=np.int64)
         if np.isscalar(quant)
@@ -375,19 +418,37 @@ def encode_jpeg(arr: np.ndarray, quant=1) -> bytes:
         raise ValueError("quant entries must be 1..255")
     q_zz = q_nat[ZIGZAG]
 
-    planes = (
-        [arr.astype(np.float64)]
-        if gray
-        else [_rgb_to_ycbcr(arr)[..., i] for i in range(3)]
-    )
-    comp_blocks = []
-    for p in planes:
-        blocks, by, bx = _to_blocks(p)
+    if gray:
+        samp = [(1, 1)]
+        planes = [arr.astype(np.float64)]
+    else:
+        fh, fv = _SUBSAMPLING[subsampling]
+        samp = [(fh, fv), (1, 1), (1, 1)]
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., 0]] + [
+            np.round(_downsample(ycc[..., i], fh, fv)) for i in (1, 2)
+        ]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    comp_zz: list = []  # quantized zigzag blocks, raster block order
+    comp_bx: list = []  # blocks per block-row, per component
+    for (fh_i, fv_i), p in zip(samp, planes):
+        bx, by = mcus_x * fh_i, mcus_y * fv_i
+        ph, pw = p.shape
+        p = np.pad(
+            p.astype(np.float64),
+            ((0, by * 8 - ph), (0, bx * 8 - pw)),
+            mode="edge",
+        )
+        blocks = (
+            p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
         s = np.einsum("ux,nxy,vy->nuv", _D, blocks - 128.0, _D)
         zz = s.reshape(-1, 64)[:, ZIGZAG]
-        comp_blocks.append(
-            np.round(zz / q_zz[None, :]).astype(np.int64)
-        )
+        comp_zz.append(np.round(zz / q_zz[None, :]).astype(np.int64))
+        comp_bx.append(bx)
 
     dc_specs = [_DC_LUM] + ([_DC_CHR, _DC_CHR] if not gray else [])
     ac_specs = [_AC_LUM] + ([_AC_CHR, _AC_CHR] if not gray else [])
@@ -396,11 +457,26 @@ def encode_jpeg(arr: np.ndarray, quant=1) -> bytes:
 
     bw = _BitWriter()
     preds = [0] * len(planes)
-    for n in range(by * bx):  # interleaved MCU order (4:4:4 → 1 block each)
-        for ci in range(len(planes)):
-            preds[ci] = _encode_block_zz(
-                comp_blocks[ci][n], preds[ci], dc_codes[ci], ac_codes[ci], bw
-            )
+    mcu_n = rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.align()
+                bw.put_marker(0xD0 + rst % 8)
+                rst += 1
+                preds = [0] * len(planes)
+            for ci, (fh_i, fv_i) in enumerate(samp):
+                for byi in range(fv_i):
+                    for bxi in range(fh_i):
+                        n = (my * fv_i + byi) * comp_bx[ci] + mx * fh_i + bxi
+                        preds[ci] = _encode_block_zz(
+                            comp_zz[ci][n],
+                            preds[ci],
+                            dc_codes[ci],
+                            ac_codes[ci],
+                            bw,
+                        )
+            mcu_n += 1
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(
@@ -410,13 +486,16 @@ def encode_jpeg(arr: np.ndarray, quant=1) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0])  # h=v=1, quant table 0
+        fh_i, fv_i = samp[cid - 1]
+        sof += bytes([cid, (fh_i << 4) | fv_i, 0])  # quant table 0
     out += _seg(0xC0, sof)
     out += _seg(0xC4, _dht_payload(0, 0, _DC_LUM))
     out += _seg(0xC4, _dht_payload(1, 0, _AC_LUM))
     if not gray:
         out += _seg(0xC4, _dht_payload(0, 1, _DC_CHR))
         out += _seg(0xC4, _dht_payload(1, 1, _AC_CHR))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
         tid = 0 if cid == 1 else 1
@@ -433,10 +512,17 @@ def encode_jpeg(arr: np.ndarray, quant=1) -> bytes:
 
 def decode_jpeg(content: bytes) -> np.ndarray:
     """Decode a baseline JPEG to uint8 (H, W) gray or (H, W, 3) RGB.
-    Raises ValueError on non-JPEG/corrupt bytes and
-    NotImplementedError on out-of-scope variants (progressive,
-    subsampled, arithmetic, 16-bit DQT, restart intervals) — the
-    mapInPandas wrapper degrades both to NULL rows."""
+    Supports interleaved single-scan streams with per-component
+    sampling factors in {1, 2} — 4:4:4, 4:2:2 and 4:2:0 chroma
+    subsampling (the formats real-world encoders emit) — and
+    DRI/RSTn restart intervals. Chroma planes are upsampled by pixel
+    replication (libjpeg's "fancy" triangle filter is a smoothing
+    choice, not part of the standard; replication is exact for the
+    constant images the oracle checks). Raises ValueError on
+    non-JPEG/corrupt bytes and NotImplementedError on out-of-scope
+    variants (progressive, arithmetic, 16-bit DQT, sampling factors
+    > 2, multi-scan) — the mapInPandas wrapper degrades both to NULL
+    rows."""
     if len(content) < 4 or content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -444,6 +530,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     htabs: dict = {}
     comps: list = []
     h = w = 0
+    dri = 0
     scan: bytes = b""
     scan_specs: list = []
     while pos < len(content):
@@ -495,11 +582,16 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 )
             for ci in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
-                if hv != 0x11:
+                ch, cv = hv >> 4, hv & 0x0F
+                if ch not in (1, 2) or cv not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG (h,v != 1,1) out of scope"
+                        f"JPEG sampling factors ({ch},{cv}) out of scope"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "h": ch, "v": cv})
+            if ncomp == 1 and (comps[0]["h"], comps[0]["v"]) != (1, 1):
+                # a single-component scan is never interleaved
+                # (T.81 A.2.2) — its sampling factors don't matter
+                comps[0]["h"] = comps[0]["v"] = 1
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -507,11 +599,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 "arithmetic) out of scope"
             )
         elif marker == 0xDD:  # DRI
-            (interval,) = struct.unpack(">H", seg[:2])
-            if interval != 0:
-                raise NotImplementedError(
-                    "JPEG restart intervals out of scope"
-                )
+            (dri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if not comps:
                 raise ValueError("JPEG SOS before SOF")
@@ -531,37 +619,66 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         # APPn / COM / others: skipped
     if not scan_specs:
         raise ValueError("JPEG has no scan")
-    by, bx = -(-h // 8), -(-w // 8)
-    n_blocks = by * bx
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # per-component block grids at that component's own resolution;
+    # the interleaved scan always codes whole MCUs (T.81 A.2.3)
+    comp_bx = [mcus_x * s[0]["h"] for s in scan_specs]
+    comp_by = [mcus_y * s[0]["v"] for s in scan_specs]
     r = _BitReader(scan)
     coeffs = [
-        np.zeros((n_blocks, 64), dtype=np.int32) for _ in scan_specs
+        np.zeros((comp_by[ci] * comp_bx[ci], 64), dtype=np.int32)
+        for ci in range(len(scan_specs))
     ]
     preds = [0] * len(scan_specs)
-    for n in range(n_blocks):
-        for ci, (comp, dc_id, ac_id) in enumerate(scan_specs):
-            dc_tab = htabs.get((0, dc_id))
-            ac_tab = htabs.get((1, ac_id))
-            if dc_tab is None or ac_tab is None:
-                raise ValueError("JPEG scan references missing DHT")
-            zz, preds[ci] = _decode_block_zz(
-                r, preds[ci], dc_tab, ac_tab
-            )
-            coeffs[ci][n] = zz
+    mcu_n = rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_n and mcu_n % dri == 0:
+                r.restart(rst)
+                rst += 1
+                preds = [0] * len(scan_specs)
+            for ci, (comp, dc_id, ac_id) in enumerate(scan_specs):
+                dc_tab = htabs.get((0, dc_id))
+                ac_tab = htabs.get((1, ac_id))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                for byi in range(comp["v"]):
+                    for bxi in range(comp["h"]):
+                        n = (my * comp["v"] + byi) * comp_bx[ci] + (
+                            mx * comp["h"] + bxi
+                        )
+                        zz, preds[ci] = _decode_block_zz(
+                            r, preds[ci], dc_tab, ac_tab
+                        )
+                        coeffs[ci][n] = zz
+            mcu_n += 1
     planes = []
     for ci, (comp, _, _) in enumerate(scan_specs):
         q = qtabs.get(comp["tq"])
         if q is None:
             raise ValueError("JPEG scan references missing DQT")
-        nat = np.zeros((n_blocks, 64), dtype=np.float64)
+        nat = np.zeros((coeffs[ci].shape[0], 64), dtype=np.float64)
         nat[:, ZIGZAG] = coeffs[ci] * q[None, :]
         blocks = nat.reshape(-1, 8, 8)
         pix = np.einsum("xu,nuv,yv->nxy", _D.T, blocks, _D.T) + 128.0
+        by, bx = comp_by[ci], comp_bx[ci]
         plane = (
             pix.reshape(by, bx, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(by * 8, bx * 8)[:h, :w]
+            .reshape(by * 8, bx * 8)
         )
+        # crop to this component's own sample dims (T.81 A.1.1),
+        # then replicate up to full resolution
+        ch = -(-h * comp["v"] // vmax)
+        cw = -(-w * comp["h"] // hmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(
+            np.repeat(plane, vmax // comp["v"], axis=0),
+            hmax // comp["h"],
+            axis=1,
+        )[:h, :w]
         planes.append(plane)
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -772,13 +772,17 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     - ``id % 10 == 8``, ``(id // 10) % 2 == 0`` — 8-bit truecolor
       RGB PNG
     - ``id % 10 == 8``, ``(id // 10) % 2 == 1`` — baseline JPEG
-      (3-component 4:4:4, all-ones quant). JPEG rows use the GRAY
-      constant ``(g, g, g)`` with ``g = (37·id) % 256``: for
-      ``r = g = b`` the RGB→YCbCr transform is exact (Y = g,
-      Cb = Cr = 128), a flat plane's DCT is DC-only with an integer
-      DC, and YCbCr→RGB is exact again — the one color family where
-      the FULL JPEG color pipeline round-trips bit-exactly, keeping
-      the oracle's closed form (``jpeg.py`` module docstring)
+      (3-component, all-ones quant): 4:4:4 when ``(id // 20) % 2
+      == 0``, else 4:2:0 with a 2-MCU restart interval — so the
+      subsampled-MCU and RSTn decode paths are driver-gated too.
+      JPEG rows use the GRAY constant ``(g, g, g)`` with
+      ``g = (37·id) % 256``: for ``r = g = b`` the RGB→YCbCr
+      transform is exact (Y = g, Cb = Cr = 128), a flat plane's DCT
+      is DC-only with an integer DC (and box-averaged constant
+      chroma stays constant), and YCbCr→RGB is exact again — the
+      one color family where the FULL JPEG pipeline round-trips
+      bit-exactly, keeping the oracle's closed form (``jpeg.py``
+      module docstring)
 
     PNG classes cycle ``row_filter = (id // 2) % 5``, so all five
     filter reconstructions run across the corpus. Every decoded
@@ -834,7 +838,13 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                     elif (did // 10) % 2 == 1:
                         g = (37 * did) % 256
                         arr[:, :] = (g, g, g)  # gray: exact JPEG path
-                        content = encode_jpeg(arr)
+                        content = encode_jpeg(
+                            arr,
+                            subsampling=(
+                                "4:2:0" if (did // 20) % 2 else "4:4:4"
+                            ),
+                            restart_interval=2 if (did // 20) % 2 else 0,
+                        )
                         mime = "image/jpeg"
                     else:
                         content = encode_png(arr, row_filter=(did // 2) % 5)

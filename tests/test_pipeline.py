@@ -705,6 +705,25 @@ def test_jpeg_codec_roundtrip_and_dispatch():
     q[0] = 8
     lossy = decode_jpeg(encode_jpeg(img, quant=q))
     assert lossy.shape == img.shape
+    # chroma subsampling + restart intervals: constant images stay
+    # bit-exact (box-averaged constant chroma is constant), and a
+    # restarted stream decodes to the identical pixels as the
+    # unrestarted one for any content
+    for ss in ("4:2:2", "4:2:0"):
+        for ri in (0, 1, 3):
+            cimg = np.full((19, 22, 3), 77, np.uint8)
+            got = decode_jpeg(
+                encode_jpeg(cimg, subsampling=ss, restart_interval=ri)
+            )
+            assert np.array_equal(got, cimg), (ss, ri)
+    a = decode_jpeg(encode_jpeg(img, restart_interval=2))
+    b = decode_jpeg(encode_jpeg(img))
+    assert np.array_equal(a, b)
+    # gray-content RGB keeps chroma constant: subsampled decode is
+    # still near-lossless (the luma path carries all the signal)
+    gc = np.repeat(rng.randint(0, 256, (25, 31, 1)).astype(np.uint8), 3, 2)
+    got = decode_jpeg(encode_jpeg(gc, subsampling="4:2:0"))
+    assert np.abs(got.astype(int) - gc.astype(int)).max() <= 2
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n" + bytes(16))
     # magic-byte dispatch reaches the JPEG decoder with real dims
@@ -717,16 +736,20 @@ def test_jpeg_codec_roundtrip_and_dispatch():
 
 def test_jpeg_rejects_out_of_scope_variants():
     """The decoder REFUSES (NotImplementedError) rather than
-    mis-decodes anything outside baseline 8-bit 4:4:4: progressive
-    SOF2, subsampled 4:2:0, 16-bit DQT, nonzero restart interval —
-    each hand-patched into a valid stream so only the tested field
-    differs. The mapInPandas dispatch turns each into a NULL row."""
+    mis-decodes anything outside its scope: progressive SOF2,
+    sampling factors > 2 (4:1:1), 16-bit DQT — each hand-patched
+    into a valid stream so only the tested field differs — and a
+    declared-but-unhonored restart interval fails loudly
+    (ValueError) instead of decoding garbage. The mapInPandas
+    dispatch turns each into a NULL row."""
     import numpy as np
 
     from aduana_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
     from aduana_spark.pipeline.multimodal import _real_decode
 
-    base = bytearray(encode_jpeg(np.full((8, 8, 3), 90, np.uint8)))
+    # 3 MCUs wide, so the spliced-DRI case below actually expects a
+    # restart between MCUs (a single-MCU image never does)
+    base = bytearray(encode_jpeg(np.full((8, 24, 3), 90, np.uint8)))
 
     def find_marker(buf, m):
         i = 2
@@ -746,11 +769,11 @@ def test_jpeg_rejects_out_of_scope_variants():
     with pytest.raises(NotImplementedError, match="progressive|SOF"):
         decode_jpeg(bytes(prog))
     assert _real_decode(bytes(prog), 8) is None
-    # subsampling: set component 1 h,v = 2,2 in SOF
+    # sampling factors out of range: set component 1 h,v = 4,1 (4:1:1)
     sub = bytearray(base)
     sof = find_marker(sub, 0xC0)
-    sub[sof + 2 + 2 + 6 + 1] = 0x22  # comp 0 hv byte
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    sub[sof + 2 + 2 + 6 + 1] = 0x41  # comp 0 hv byte
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg(bytes(sub))
     # 16-bit DQT: set Pq=1
     dq = bytearray(base)
@@ -758,9 +781,10 @@ def test_jpeg_rejects_out_of_scope_variants():
     dq[dqt + 4] = 0x10
     with pytest.raises(NotImplementedError, match="16-bit DQT"):
         decode_jpeg(bytes(dq))
-    # restart interval: splice a DRI(interval=2) before SOS
+    # a DRI announcing restarts the scan doesn't contain: loud
+    # ValueError at the first missing RST marker, never garbage
     dri = bytearray(base)
     sos = find_marker(dri, 0xDA)
-    dri[sos:sos] = b"\xff\xdd\x00\x04\x00\x02"
-    with pytest.raises(NotImplementedError, match="restart"):
+    dri[sos:sos] = b"\xff\xdd\x00\x04\x00\x01"
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(dri))
