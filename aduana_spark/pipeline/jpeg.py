@@ -24,13 +24,16 @@ the RGB→YCbCr transform is exact for r=g=b, so constant gray-RGB
 JPEGs round-trip bit-exactly — the property the driver's
 `media_decode` oracle value-checks in closed form).
 
-Scale note: Huffman entropy decode is inherently serial per scan, so
-the inner loop is per-symbol Python — the honest swap-in point for
-libjpeg-turbo via Pillow at production scale. Everything after
-entropy decode (dequant, IDCT, level shift, color convert) is
-vectorized numpy over all blocks at once. Rows still batch through
-Arrow in `extract_media_features`; no per-row Python enters any
-Spark plan.
+Scale note: Huffman entropy decode is inherently serial per scan
+(restart intervals are the standard's own parallelism seam — each
+RSTn segment resets the DC predictors and byte-aligns, so segments
+are independently decodable; this decoder processes them in order),
+so the inner loop is per-symbol Python — the honest swap-in point
+for libjpeg-turbo via Pillow at production scale. Everything after
+entropy decode (dequant, IDCT, level shift, upsample, color
+convert) is vectorized numpy over all blocks at once. Rows still
+batch through Arrow in `extract_media_features`; no per-row Python
+enters any Spark plan.
 """
 
 from __future__ import annotations
