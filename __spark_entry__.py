@@ -702,7 +702,11 @@ def _q_media_decode(spark, sf_dir):
     # RMS = peak = v/32768 exactly. Scaling the features back to
     # integers makes every output column a closed-form function of
     # doc_id alone, so DuckDB value-checks the decodes without
-    # decoding PNG/BMP/GIF/JPEG/WAV itself.
+    # decoding PNG/BMP/GIF/JPEG/WAV/AVI itself. The odd-id slot
+    # 9/(id//10)%2=1 is MJPEG-AVI VIDEO (avi.py: RIFF walk + one
+    # baseline JPEG per frame): constant gray frames share the image
+    # closed form verbatim (video_features slots 0-9 mirror
+    # image_features) plus exact n_frames / 10 fps / duration.
     from aduana_spark.pipeline.multimodal import (
         extract_media_features,
         synthesize_media,
@@ -711,35 +715,47 @@ def _q_media_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
     feats = extract_media_features(synthesize_media(docs), dim=16, decoder="real")
     f = F.col("feature")
-    is_img = F.col("kind") == "image"
+    is_aud = F.col("kind") == "audio"
+    is_vid = F.col("kind") == "video"
 
     # -1 sentinel for not-applicable kind/column pairs instead of
     # NULL: the driver's comparator sorts row tuples in Python, and
     # None is unorderable against int — a NULL-bearing result errors
     # the comparison rather than failing it.
-    def img(expr):
-        return F.when(is_img, F.round(expr).cast("long")).otherwise(F.lit(-1))
+    def pix(expr):
+        # image AND video share the pixel-stat feature layout
+        return F.when(~is_aud, F.round(expr).cast("long")).otherwise(
+            F.lit(-1)
+        )
 
     def aud(expr):
-        return F.when(~is_img, F.round(expr).cast("long")).otherwise(F.lit(-1))
+        return F.when(is_aud, F.round(expr).cast("long")).otherwise(F.lit(-1))
+
+    def vid(expr):
+        return F.when(is_vid, F.round(expr).cast("long")).otherwise(F.lit(-1))
 
     return feats.select(
         "media_id",
         "kind",
-        img(f[0]).alias("height"),
-        img(f[1]).alias("width"),
-        img(f[2]).alias("channels"),
-        img(f[4] * 255).alias("mean_r"),
-        img(f[5] * 255).alias("mean_g"),
-        img(f[6] * 255).alias("mean_b"),
-        img(f[3] * 765).alias("rgb_sum"),
+        pix(f[0]).alias("height"),
+        pix(f[1]).alias("width"),
+        pix(f[2]).alias("channels"),
+        pix(f[4] * 255).alias("mean_r"),
+        pix(f[5] * 255).alias("mean_g"),
+        pix(f[6] * 255).alias("mean_b"),
+        pix(f[3] * 765).alias("rgb_sum"),
         # constant color → true std 0, but float summation of the
         # non-dyadic mean leaves ~1e-17 residue: report the integer
         # round(1000·Σstd) (0 when correct, O(100) on any pixel bug)
-        img((f[7] + f[8] + f[9]) * 1000).alias("stds_milli"),
-        aud(f[0] * 1000).alias("dur_ms"),
+        pix((f[7] + f[8] + f[9]) * 1000).alias("stds_milli"),
+        F.when(is_aud, F.round(f[0] * 1000).cast("long"))
+        .when(is_vid, F.round(f[12] * 1000).cast("long"))
+        .otherwise(F.lit(-1))
+        .alias("dur_ms"),
         aud(f[1] * 32768).alias("rms_i"),
         aud(f[4] * 32768).alias("peak_i"),
+        vid(f[10]).alias("n_frames"),
+        vid(f[11]).alias("fps_i"),
     ).orderBy("media_id")
 
 
@@ -1239,42 +1255,56 @@ def oracle_sql() -> dict[str, str]:
             -- c/255 and std exactly 0 regardless of class; odd ids
             -- are square-wave PCM16 WAVs with int16
             -- code v = 1000+500*(id%60) at 8 kHz for 100+10*id ms —
-            -- decoded RMS and peak are exactly v/32768. DuckDB
-            -- cannot decode PNG/BMP/WAV; it recomputes the integers
+            -- decoded RMS and peak are exactly v/32768 — EXCEPT the
+            -- odd slot 9/(id//10)%2=1, which is MJPEG-AVI VIDEO of
+            -- 2+id%3 constant gray frames at 10 fps (gray keeps
+            -- every frame's JPEG bit-exact, so the pixel columns
+            -- reuse the image closed form and n_frames/fps/duration
+            -- are exact integers). DuckDB cannot decode
+            -- PNG/BMP/GIF/JPEG/WAV/AVI; it recomputes the integers
             -- the decodes must reproduce. -1 sentinel (not NULL) for
             -- not-applicable kind/column pairs — the comparator sorts
             -- row tuples in Python where None is unorderable.
-            SELECT doc_id AS media_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
-                     AS kind,
-                   CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 4 ELSE -1 END
-                     AS height,
-                   CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 5 ELSE -1 END
-                     AS width,
-                   CASE WHEN doc_id % 2 = 0 THEN 3 ELSE -1 END AS channels,
-                   CASE WHEN doc_id % 2 = 0 THEN (37 * doc_id) % 256 ELSE -1
-                     END AS mean_r,
-                   CASE WHEN doc_id % 2 = 1 THEN -1
-                        WHEN doc_id % 10 = 8 AND (doc_id // 10) % 2 = 1
-                          THEN (37 * doc_id) % 256
-                        ELSE (91 * doc_id) % 256 END AS mean_g,
-                   CASE WHEN doc_id % 2 = 1 THEN -1
-                        WHEN doc_id % 10 = 8 AND (doc_id // 10) % 2 = 1
-                          THEN (37 * doc_id) % 256
-                        ELSE (53 * doc_id) % 256 END AS mean_b,
-                   CASE WHEN doc_id % 2 = 1 THEN -1
-                        WHEN doc_id % 10 = 8 AND (doc_id // 10) % 2 = 1
-                          THEN 3 * ((37 * doc_id) % 256)
-                        ELSE (37 * doc_id) % 256 + (91 * doc_id) % 256
-                             + (53 * doc_id) % 256 END AS rgb_sum,
-                   CASE WHEN doc_id % 2 = 0 THEN 0 ELSE -1 END AS stds_milli,
-                   CASE WHEN doc_id % 2 = 1 THEN 100 + 10 * doc_id ELSE -1 END
-                     AS dur_ms,
-                   CASE WHEN doc_id % 2 = 1 THEN 1000 + 500 * (doc_id % 60)
-                     ELSE -1 END AS rms_i,
-                   CASE WHEN doc_id % 2 = 1 THEN 1000 + 500 * (doc_id % 60)
-                     ELSE -1 END AS peak_i
-            FROM documents WHERE doc_id < 60 ORDER BY media_id
+            SELECT media_id,
+                   kind,
+                   CASE WHEN kind = 'audio' THEN -1
+                        ELSE 3 + media_id % 4 END AS height,
+                   CASE WHEN kind = 'audio' THEN -1
+                        ELSE 4 + media_id % 5 END AS width,
+                   CASE WHEN kind = 'audio' THEN -1 ELSE 3 END AS channels,
+                   CASE WHEN kind = 'audio' THEN -1
+                        ELSE (37 * media_id) % 256 END AS mean_r,
+                   CASE WHEN kind = 'audio' THEN -1
+                        WHEN grayish THEN (37 * media_id) % 256
+                        ELSE (91 * media_id) % 256 END AS mean_g,
+                   CASE WHEN kind = 'audio' THEN -1
+                        WHEN grayish THEN (37 * media_id) % 256
+                        ELSE (53 * media_id) % 256 END AS mean_b,
+                   CASE WHEN kind = 'audio' THEN -1
+                        WHEN grayish THEN 3 * ((37 * media_id) % 256)
+                        ELSE (37 * media_id) % 256 + (91 * media_id) % 256
+                             + (53 * media_id) % 256 END AS rgb_sum,
+                   CASE WHEN kind = 'audio' THEN -1 ELSE 0 END AS stds_milli,
+                   CASE WHEN kind = 'audio' THEN 100 + 10 * media_id
+                        WHEN kind = 'video' THEN 100 * (2 + media_id % 3)
+                        ELSE -1 END AS dur_ms,
+                   CASE WHEN kind = 'audio' THEN 1000 + 500 * (media_id % 60)
+                        ELSE -1 END AS rms_i,
+                   CASE WHEN kind = 'audio' THEN 1000 + 500 * (media_id % 60)
+                        ELSE -1 END AS peak_i,
+                   CASE WHEN kind = 'video' THEN 2 + media_id % 3
+                        ELSE -1 END AS n_frames,
+                   CASE WHEN kind = 'video' THEN 10 ELSE -1 END AS fps_i
+            FROM (
+              SELECT doc_id AS media_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'image'
+                          WHEN doc_id % 10 = 9 AND (doc_id // 10) % 2 = 1
+                            THEN 'video'
+                          ELSE 'audio' END AS kind,
+                     (doc_id % 10 = 8 AND (doc_id // 10) % 2 = 1)
+                       OR doc_id % 2 = 1 AS grayish
+              FROM documents WHERE doc_id < 60
+            ) ORDER BY media_id
         """,
     }
 

@@ -7,13 +7,15 @@ Decoders, by fidelity:
   stdlib can express: PNG (zlib inflate + full filter-0..4 / Paeth
   reconstruction; 8/16-bit gray/RGB/gray+A/RGBA and palette), BMP
   (24-bit BI_RGB), GIF (LZW, interlace, local/global color tables),
-  baseline JPEG (SOF0/SOF1 Huffman + DCT, grayscale and 4:4:4 —
-  ``jpeg.py``) and WAV (PCM via ``wave``), with real features
-  (per-channel image stats / RMS, zero crossings, FFT spectral
-  centroid for audio).
-  Rows whose codec the environment cannot decode (mp4/ogg need
-  pyav/libsnd, absent here; ditto progressive/subsampled JPEG
-  variants) yield ``feature = NULL`` instead of killing the job —
+  baseline JPEG (SOF0/SOF1 Huffman + DCT, 4:4:4/4:2:2/4:2:0,
+  restart intervals — ``jpeg.py``), WAV (PCM via ``wave``) and
+  MJPEG-AVI video (RIFF walk + per-frame JPEG — ``avi.py``), with
+  real features (per-channel image stats / RMS, zero crossings, FFT
+  spectral centroid for audio / frame count, fps, duration, motion
+  for video).
+  Rows whose codec the environment cannot decode (mp4/ogg/h264 need
+  pyav/libsnd, absent here; ditto progressive JPEG) yield
+  ``feature = NULL`` instead of killing the job —
   at 10^12 rows a corrupt or exotic blob is data, not an exception;
   filter on ``feature IS NULL`` downstream.
 - ``decoder='fake'`` (default) — deterministic features derived from
@@ -44,6 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from .avi import decode_avi_mjpeg, encode_avi_mjpeg
 from .jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = T.StructType(
@@ -656,6 +659,38 @@ def audio_features(pcm: np.ndarray, rate: int, dim: int) -> np.ndarray:
     return out
 
 
+def video_features(frames: np.ndarray, fps: float, dim: int) -> np.ndarray:
+    """Real video features over decoded (n, H, W, 3) frames: the
+    image-feature layout (dims + per-channel mean/std over ALL
+    frames' pixels + luminance) in slots 0-9, then n_frames, fps,
+    duration and mean inter-frame motion — so the oracle's image
+    closed forms apply verbatim to constant-frame videos."""
+    n, h, w = frames.shape[:3]
+    ch = frames.shape[3] if frames.ndim == 4 else 1
+    px = frames.reshape(-1, ch).astype(np.float64) / 255.0
+    means = px.mean(axis=0)
+    stds = px.std(axis=0)
+    luma = means[:3].mean() if ch >= 3 else means[0]
+    motion = (
+        float(np.abs(np.diff(frames.astype(np.float64), axis=0)).mean())
+        / 255.0
+        if n > 1
+        else 0.0
+    )
+    dur = n / fps if fps > 0 else 0.0
+    feat = np.concatenate(
+        [
+            [float(h), float(w), float(ch), float(luma)],
+            means,
+            stds,
+            [float(n), float(fps), dur, motion],
+        ]
+    )
+    out = np.zeros(dim, np.float32)
+    out[: min(dim, feat.size)] = feat[:dim]
+    return out
+
+
 def _real_decode(content: bytes, dim: int) -> list | None:
     """Dispatch to the stdlib-expressible codecs — by magic bytes, not
     the mime column (a 10^12-row crawl's mime labels lie; the payload
@@ -673,6 +708,9 @@ def _real_decode(content: bytes, dim: int) -> list | None:
         if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             pcm, rate = decode_wav(content)
             return audio_features(pcm, rate, dim).tolist()
+        if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            frames, fps = decode_avi_mjpeg(content, max_frames=64)
+            return video_features(frames, fps, dim).tolist()
     except Exception:
         # includes NotImplementedError from out-of-scope JPEG
         # variants (progressive/subsampled/arithmetic): data, not
@@ -753,8 +791,13 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic media corpus keyed by ``doc_id``: even ids become
     constant-color images across SIX codec classes (by ``id % 10``,
-    with the ``8`` slot split by ``(id // 10) % 2``), odd ids
-    square-wave 16-bit PCM WAVs.
+    with the ``8`` slot split by ``(id // 10) % 2``); odd ids are
+    square-wave 16-bit PCM WAVs, except ``id % 10 == 9`` with
+    ``(id // 10) % 2 == 1`` which become MJPEG-AVI videos of
+    ``2 + id % 3`` constant gray frames at 10 fps (``avi.py`` — the
+    constant gray family keeps every frame's JPEG round-trip
+    bit-exact, so the video rows share the image rows' closed
+    form, plus exact n_frames / fps / duration).
 
     Image classes — all with the SAME decoded pixels, so the decoded
     features share one closed form while the byte paths differ:
@@ -850,6 +893,16 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                         content = encode_png(arr, row_filter=(did // 2) % 5)
                         mime = "image/png"
                     rows.append((did, "image", content, mime, w, h, None))
+                elif did % 10 == 9 and (did // 10) % 2 == 1:
+                    h, w = 3 + did % 4, 4 + did % 5
+                    g = (37 * did) % 256
+                    n_frames = 2 + did % 3
+                    frames = np.full((n_frames, h, w, 3), g, np.uint8)
+                    content = encode_avi_mjpeg(frames, fps=10)
+                    rows.append(
+                        (did, "video", content, "video/avi", w, h,
+                         100 * n_frames)
+                    )
                 else:
                     ms = 100 + 10 * did  # rate 8000 → n = 8·ms frames
                     v = 1000 + 500 * (did % 60)  # exact int16 code

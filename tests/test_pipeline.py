@@ -788,3 +788,56 @@ def test_jpeg_rejects_out_of_scope_variants():
     dri[sos:sos] = b"\xff\xdd\x00\x04\x00\x01"
     with pytest.raises(ValueError):
         decode_jpeg(bytes(dri))
+
+
+def test_avi_mjpeg_codec_roundtrip_and_dispatch():
+    """MJPEG-in-AVI (avi.py): RIFF container walk + one baseline JPEG
+    per frame. Constant gray frames round-trip bit-exactly (the
+    jpeg.py exactness family lifted to video); fps survives via
+    strh rate/scale (integral and fractional); max_frames bounds
+    per-row decode cost; non-MJPEG fourcc and non-AVI RIFFs refuse;
+    the magic-byte dispatch yields REAL video features and truncated
+    payloads degrade to NULL."""
+    import numpy as np
+
+    from aduana_spark.pipeline.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from aduana_spark.pipeline.multimodal import _real_decode, video_features
+
+    rng = np.random.RandomState(9)
+    frames = np.stack(
+        [np.full((6, 11, 3), 10 * i + 5, np.uint8) for i in range(4)]
+    )
+    got, fps = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=10))
+    assert fps == 10.0 and np.array_equal(got, frames)
+    # fractional fps round-trips through the scale=1000 pair
+    _, fps = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=29.97))
+    assert abs(fps - 29.97) < 1e-9
+    # random frames: near-lossless per frame at quant=1
+    rf = rng.randint(0, 256, (3, 16, 16, 3)).astype(np.uint8)
+    got, _ = decode_avi_mjpeg(encode_avi_mjpeg(rf))
+    # two float rounding points (YCbCr forth and back) -> ±3 worst case
+    assert np.abs(got.astype(int) - rf.astype(int)).max() <= 3
+    # max_frames caps decode cost
+    got, _ = decode_avi_mjpeg(encode_avi_mjpeg(rf), max_frames=1)
+    assert got.shape[0] == 1
+    # refusals: wrong RIFF form, non-MJPEG codec
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    bad = bytearray(encode_avi_mjpeg(frames))
+    i = bad.find(b"MJPG")
+    bad[i:i + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="MJPEG only"):
+        decode_avi_mjpeg(bytes(bad))
+    # dispatch: video features carry dims, frame count, fps, duration
+    feat = _real_decode(encode_avi_mjpeg(frames, fps=10), dim=16)
+    assert feat is not None
+    assert feat[0] == 6.0 and feat[1] == 11.0 and feat[2] == 3.0
+    assert feat[10] == 4.0 and feat[11] == 10.0
+    assert abs(feat[12] - 0.4) < 1e-6  # 4 frames / 10 fps
+    assert feat[13] > 0.0  # frames differ -> nonzero motion
+    # constant video: zero motion, exact channel means
+    cf = np.full((2, 5, 8, 3), 77, np.uint8)
+    feat = video_features(cf, 10.0, 16)
+    assert feat[13] == 0.0 and abs(feat[4] - 77.0 / 255.0) < 1e-6
+    # truncated payload degrades to NULL (data, not exception)
+    assert _real_decode(encode_avi_mjpeg(frames)[:60], dim=16) is None
