@@ -841,3 +841,45 @@ def test_avi_mjpeg_codec_roundtrip_and_dispatch():
     assert feat[13] == 0.0 and abs(feat[4] - 77.0 / 255.0) < 1e-6
     # truncated payload degrades to NULL (data, not exception)
     assert _real_decode(encode_avi_mjpeg(frames)[:60], dim=16) is None
+
+
+def test_extract_frame_features_real_video(spark):
+    """frame_sample_plan realized: an MJPEG-AVI decodes to per-frame
+    feature rows at the sampling cadence — 6 frames at 10 fps with
+    every_ms=200 sample frames 0/2/4 at ts 0/200/400; each row
+    carries that frame's OWN pixel stats (frames differ, so the
+    sampled means must track the sampled frame). Non-video and
+    undecodable rows contribute no frame rows."""
+    import numpy as np
+
+    from aduana_spark.pipeline.avi import encode_avi_mjpeg
+    from aduana_spark.pipeline.multimodal import extract_frame_features
+
+    frames = np.stack(
+        [np.full((5, 8, 3), 20 * i + 10, np.uint8) for i in range(6)]
+    )
+    avi = encode_avi_mjpeg(frames, fps=10)
+    rows = [
+        (0, "video", bytearray(avi), "video/avi", 8, 5, 600),
+        (1, "video", b"\x00\x00\x00 ftypmp42", "video/mp4", 8, 8, 1000),
+        (2, "image", b"not-video", "image/png", 2, 2, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id LONG, kind STRING, content BINARY, mime STRING, "
+        "width INT, height INT, duration_ms LONG",
+    )
+    got = extract_frame_features(media, every_ms=200, dim=8).collect()
+    assert {r["media_id"] for r in got} == {0}
+    by_idx = {r["frame_idx"]: r for r in got}
+    assert sorted(by_idx) == [0, 2, 4]
+    assert [by_idx[i]["ts_ms"] for i in (0, 2, 4)] == [0, 200, 400]
+    for i in (0, 2, 4):
+        f = by_idx[i]["feature"]
+        assert f[0] == 5.0 and f[1] == 8.0  # frame dims
+        assert abs(f[4] - (20 * i + 10) / 255.0) < 1e-6  # per-frame mean
+    # max_frames cap
+    capped = extract_frame_features(
+        media, every_ms=100, dim=8, max_frames=2
+    ).collect()
+    assert len(capped) == 2
