@@ -33,3 +33,21 @@ from aduana_spark.pipeline.textstats import (  # noqa: F401
     quality_scores,
     token_count_col,
 )
+from aduana_spark.pipeline.avi import (  # noqa: F401
+    decode_avi_mjpeg,
+    encode_avi_mjpeg,
+)
+from aduana_spark.pipeline.jpeg import (  # noqa: F401
+    decode_jpeg,
+    encode_jpeg,
+)
+from aduana_spark.pipeline.multimodal import (  # noqa: F401
+    decode_bmp,
+    decode_gif,
+    decode_png,
+    decode_wav,
+    extract_frame_features,
+    extract_media_features,
+    frame_sample_plan,
+    synthesize_media,
+)
