@@ -301,6 +301,29 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, dict]]:
             extract_pages(synth_pages(spark, n_pages=5000, n_domains=200))
         ).count(),
     )
+
+    # REAL multimodal decode throughput: synthesize 2k media rows
+    # (PNG/BMP/GIF/JPEG images, WAVs, MJPEG-AVI videos — the full
+    # round-5 codec set) and decode every one to features in Arrow
+    # batches. Encoder+decoder both run in the measured window; the
+    # synthesis is the same deterministic corpus the media_decode
+    # oracle gates, so the number tracks the code path users run.
+    def _media_decode_2k():
+        from aduana_spark.pipeline.multimodal import (
+            extract_media_features,
+            synthesize_media,
+        )
+
+        docs = _t(spark, "documents").select("doc_id").limit(2000)
+        return (
+            extract_media_features(
+                synthesize_media(docs), dim=16, decoder="real"
+            )
+            .where(F.col("feature").isNotNull())
+            .count()
+        )
+
+    T("media_decode_2k", _media_decode_2k)
     return q, qcpu
 
 
