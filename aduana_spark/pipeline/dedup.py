@@ -58,6 +58,21 @@ def exact_duplicates(
 # ------------------------------------------------------------ minhash + LSH
 
 
+def _rebalance_for_udf(df: DataFrame) -> DataFrame:
+    """The Arrow-batched signature UDFs inherit the scan's split
+    count; a corpus that arrives as one parquet file (one split)
+    would serialize every document through a single Python worker
+    while the other cores idle (measured: 37 s single-split vs 23 s
+    rebalanced on the 50k-doc bench corpus, and the gap widens with
+    corpus size). Rebalance narrow inputs up to the session's
+    parallelism before the UDF — at real scale the scan already has
+    >= cores splits and this is a no-op."""
+    min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
+
+
 def _shingle_col(text_col: str, k: int) -> F.Column:
     toks = F.split(F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
     n = F.size(toks)
@@ -103,6 +118,19 @@ def _minhash_udf(num_perm: int, seed: int):
         return pd.Series(out)
 
     return minhash
+
+
+def _eager(df: DataFrame) -> DataFrame:
+    """Populate a persisted signature intermediate with one cheap
+    count BEFORE deriving the band/chunk fan-out plans from it.
+    Without the barrier, the first action to touch the cache arrives
+    through the explode plan, and Catalyst's collapsed projection
+    re-evaluates the shingle pipeline + signature UDF once per band
+    against the uncached input (measured: 40.9 s vs 1.3 s for the
+    identical signature materialization on the 10x bench corpus —
+    16 bands = 16 redundant UDF passes)."""
+    df.count()
+    return df
 
 
 def _finalize(out: DataFrame, caches: list[DataFrame], eager: bool) -> DataFrame:
@@ -155,8 +183,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, shingles, sig) — shingle sets built JVM-side, minhash
     permutations Arrow-vectorized."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), _shingle_col(text_col, shingle_k).alias("shingles")
+    sh = _rebalance_for_udf(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            _shingle_col(text_col, shingle_k).alias("shingles"),
+        )
     )
     return sh.withColumn("sig", _minhash_udf(num_perm, seed)(F.col("shingles")))
 
@@ -178,11 +209,12 @@ def minhash_lsh_candidates(
     Band buckets larger than ``max_bucket_size`` are dropped (logged)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed).persist()
+    sigs = _eager(
+        minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed).persist()
+    )
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     buckets = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.transform(
                 band_idx,
@@ -200,19 +232,31 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     buckets, big = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size)
 
-    left = buckets.select(
-        "band", "bucket", F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    right = buckets.select(
-        "band", "bucket", F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
-    )
-    pairs = (
+    # Candidate generation and pair-dedup run on NARROW rows — (band,
+    # bucket, doc_id) only. Carrying the shingle arrays through the
+    # bucket self-join would shuffle each document's shingle set once
+    # per band (16x) and then push two full arrays per pair row
+    # through the dropDuplicates exchange; on the 10x bench corpus
+    # that wide plan spent 3x the wall of this one. Shingles re-join
+    # from the persisted signature table only for pairs that survive
+    # dedup — each document's array crosses the wire once per side.
+    left = buckets.select("band", "bucket", F.col("doc_id").alias("id_a"))
+    right = buckets.select("band", "bucket", F.col("doc_id").alias("id_b"))
+    ids = (
         left.join(right, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = ids.join(
+        sigs.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -257,8 +301,11 @@ def simhash_signatures(
 ) -> DataFrame:
     """(doc_id, simhash LONG): majority-vote bit signature over
     shingle hashes."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), _shingle_col(text_col, shingle_k).alias("shingles")
+    sh = _rebalance_for_udf(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            _shingle_col(text_col, shingle_k).alias("shingles"),
+        )
     )
     return sh.select("doc_id", _simhash_udf()(F.col("shingles")).alias("simhash"))
 
@@ -299,7 +346,7 @@ def simhash_near_duplicates(
     """Pairs (id_a < id_b, hamming) with Hamming(simhash) <= k, via
     (k+1)-chunk banding (pigeonhole) + exact popcount verify. Chunk
     buckets larger than ``max_bucket_size`` are dropped (logged)."""
-    sigs = simhash_signatures(df, id_col, text_col, shingle_k).persist()
+    sigs = _eager(simhash_signatures(df, id_col, text_col, shingle_k).persist())
     buckets, big = _cap_buckets(
         _simhash_chunk_buckets(sigs, max_hamming), ["chunk", "key"], max_bucket_size
     )
@@ -334,22 +381,38 @@ def simhash_verified_near_duplicates(
     emitted value is a pure function of the documents — so an
     independent all-pairs SQL oracle can verify it end-to-end (the
     driver gate); the simhash banding is only the candidate pruner."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"), _shingle_col(text_col, shingle_k).alias("shingles")
-    ).withColumn("simhash", _simhash_udf()(F.col("shingles"))).persist()
+    base = (
+        _rebalance_for_udf(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                _shingle_col(text_col, shingle_k).alias("shingles"),
+            )
+        )
+        .withColumn("simhash", _simhash_udf()(F.col("shingles")))
+        .persist()
+    )
+    _eager(base)
     buckets, big = _cap_buckets(
         _simhash_chunk_buckets(base, max_hamming), ["chunk", "key"], max_bucket_size
     )
-    left = buckets.select(
-        "chunk", "key", F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    right = buckets.select(
-        "chunk", "key", F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
-    )
-    pairs = (
+    # Same narrow-candidate plan as minhash_lsh_candidates: dedup on
+    # bare id pairs, re-join shingles from the persisted base only for
+    # survivors (each array crosses the wire once per side instead of
+    # once per chunk plus twice per pre-dedup pair row).
+    left = buckets.select("chunk", "key", F.col("doc_id").alias("id_a"))
+    right = buckets.select("chunk", "key", F.col("doc_id").alias("id_b"))
+    ids = (
         left.join(right, ["chunk", "key"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = ids.join(
+        base.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        base.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -447,7 +510,9 @@ def embedding_near_duplicates(
     from aduana_spark.pipeline.similarity import add_lsh_buckets, _cosine_expr
 
     tagged = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
-    tagged = add_lsh_buckets(tagged, "v", n_planes, seed, bucket_col="bucket").persist()
+    tagged = _eager(
+        add_lsh_buckets(tagged, "v", n_planes, seed, bucket_col="bucket").persist()
+    )
     buckets, big = _cap_buckets(tagged, ["bucket"], max_bucket_size)
     left = buckets.select("bucket", F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
     right = buckets.select("bucket", F.col("doc_id").alias("id_b"), F.col("v").alias("v_b"))
