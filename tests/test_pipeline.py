@@ -60,6 +60,22 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (0, 4) not in pairs and (4, 5) not in pairs
 
 
+def test_minhash_signatures_rebalance_single_split(spark, docs):
+    """A single-split corpus must not serialize the signature UDF
+    through one Python worker: minhash_signatures rebalances narrow
+    inputs up to the session's parallelism before the UDF, and leaves
+    already-wide inputs alone (no gratuitous shuffle at scale)."""
+    from aduana_spark.pipeline.dedup import minhash_signatures
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = docs.coalesce(1)
+    sigs = minhash_signatures(narrow, "doc_id", "text", 16, 3)
+    assert sigs.rdd.getNumPartitions() >= min(par, 2)
+    wide = docs.repartition(par + 4)
+    sigs_wide = minhash_signatures(wide, "doc_id", "text", 16, 3)
+    assert sigs_wide.rdd.getNumPartitions() == par + 4
+
+
 def test_minhash_jaccard_is_exact_verification(spark, docs):
     """The jaccard column is exact (computed on shingle sets, not
     estimated from signatures)."""
