@@ -59,14 +59,17 @@ def exact_duplicates(
 
 
 def _rebalance_for_udf(df: DataFrame) -> DataFrame:
-    """The Arrow-batched signature UDFs inherit the scan's split
-    count; a corpus that arrives as one parquet file (one split)
-    would serialize every document through a single Python worker
-    while the other cores idle (measured: 37 s single-split vs 23 s
-    rebalanced on the 50k-doc bench corpus, and the gap widens with
-    corpus size). Rebalance narrow inputs up to the session's
-    parallelism before the UDF — at real scale the scan already has
-    >= cores splits and this is a no-op."""
+    """The shingle pipeline and the Arrow-batched signature UDFs
+    inherit the scan's split count; a corpus that arrives as one
+    parquet file (one split) would compute every document's shingle
+    set in one task and push every signature through a single Python
+    worker while the other cores idle (measured on the 50k-doc bench
+    corpus: the single-split signature job left the host 89% idle).
+    Rebalance narrow inputs up to the session's parallelism BEFORE
+    the shingle projection — the shuffle carries the raw (id, text)
+    rows, and everything expensive runs post-exchange at full width.
+    At real scale the scan already has >= cores splits and this is a
+    no-op."""
     min_parts = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_parts:
         return df.repartition(min_parts)
@@ -183,12 +186,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, shingles, sig) — shingle sets built JVM-side, minhash
     permutations Arrow-vectorized."""
-    sh = _rebalance_for_udf(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            _shingle_col(text_col, shingle_k).alias("shingles"),
-        )
+    src = _rebalance_for_udf(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
     )
+    sh = src.select("doc_id", _shingle_col("_text", shingle_k).alias("shingles"))
     return sh.withColumn("sig", _minhash_udf(num_perm, seed)(F.col("shingles")))
 
 
@@ -301,12 +302,10 @@ def simhash_signatures(
 ) -> DataFrame:
     """(doc_id, simhash LONG): majority-vote bit signature over
     shingle hashes."""
-    sh = _rebalance_for_udf(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            _shingle_col(text_col, shingle_k).alias("shingles"),
-        )
+    src = _rebalance_for_udf(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
     )
+    sh = src.select("doc_id", _shingle_col("_text", shingle_k).alias("shingles"))
     return sh.select("doc_id", _simhash_udf()(F.col("shingles")).alias("simhash"))
 
 
@@ -383,11 +382,9 @@ def simhash_verified_near_duplicates(
     driver gate); the simhash banding is only the candidate pruner."""
     base = (
         _rebalance_for_udf(
-            df.select(
-                F.col(id_col).alias("doc_id"),
-                _shingle_col(text_col, shingle_k).alias("shingles"),
-            )
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
         )
+        .select("doc_id", _shingle_col("_text", shingle_k).alias("shingles"))
         .withColumn("simhash", _simhash_udf()(F.col("shingles")))
         .persist()
     )
