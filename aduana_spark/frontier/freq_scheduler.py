@@ -308,14 +308,23 @@ class FreqSchedulerView:
 
         if not self._schedule:
             return []
+        # Semi-join page_info to the schedule's URLs before collecting:
+        # the max_facade_rows guard bounds the SCHEDULE, but page_info
+        # can be arbitrarily larger (a big crawl behind a small
+        # schedule) — collecting it whole would OOM the driver. The
+        # schedule is driver-side and bounded, so it broadcasts; only
+        # matching page rows ever reach the driver (≤ len(_schedule)).
+        sched_urls = self.spark.createDataFrame(
+            [(u,) for u in self._schedule], "url STRING"
+        )
         state = {
             r["url"]: (
                 r["last_crawl"].timestamp() if r["last_crawl"] else None,
                 r["n_crawls"],
             )
-            for r in self.page_info.select(
-                "url", "last_crawl", "n_crawls"
-            ).collect()
+            for r in self.page_info.select("url", "last_crawl", "n_crawls")
+            .join(F.broadcast(sched_urls), "url", "leftsemi")
+            .collect()
         }
         heap = [(sc, url, fq) for url, (sc, fq) in self._schedule.items()]
         heapq.heapify(heap)

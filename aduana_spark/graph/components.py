@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from aduana_spark.graph.checkpoint import CheckpointManager
-from aduana_spark.graph.pagerank import IterativeResult, SuperstepMetrics
+from aduana_spark.graph.pagerank import (
+    IterativeResult,
+    SuperstepMetrics,
+    _derived_superstep_partitions,
+)
 
 
 def symmetrize(edges: DataFrame) -> DataFrame:
@@ -86,6 +90,15 @@ def connected_components(
     )
     n_edges = sym.count()
 
+    # scale-adaptive loop width (pagerank._derived_superstep_partitions):
+    # narrow per-superstep exchanges for small graphs, session value
+    # restored at exit; the cached E-row layout above is untouched
+    restore_parts: str | None = None
+    dp = _derived_superstep_partitions(spark, n_edges)
+    if dp:
+        restore_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(dp))
+
     verts = (
         sym.select(F.col("src").alias("id"))
         .unionAll(sym.select(F.col("dst").alias("id")))
@@ -108,11 +121,26 @@ def connected_components(
     metrics: list[SuperstepMetrics] = []
     converged = False
     it = start_iter
+    # Delta propagation: a vertex only needs to (re)send its label after
+    # the superstep in which that label changed — a label already
+    # delivered to a neighbor was folded into the neighbor's (monotone,
+    # non-increasing) label, so messages from unchanged vertices are
+    # ≥ the receiver's current label and can never win the min. The
+    # per-superstep labels (and therefore the changed-count convergence
+    # test) are IDENTICAL to the broadcast-from-everyone formulation;
+    # what shrinks is the E-row join output and the groupBy shuffle,
+    # which decay with the frontier instead of staying O(E) for every
+    # superstep. Superstep 1 sends from every vertex (initial labels
+    # are unseen); after a resume the first superstep also sends from
+    # everyone — monotonicity makes the extra messages harmless.
+    frontier = state
     for it in range(start_iter + 1, start_iter + max_iters + 1):
         t0 = time.time()
         msgs = (
             sym.join(
-                state.select(F.col("id").alias("src"), F.col("component").alias("c")),
+                frontier.select(
+                    F.col("id").alias("src"), F.col("component").alias("c")
+                ),
                 "src",
             )
             .groupBy("dst")
@@ -128,6 +156,9 @@ def connected_components(
         ).localCheckpoint(eager=False)  # truncated; next action materializes
         changed = cand.where(F.col("component") != F.col("old")).count()
         new_state = cand.select("id", "component")
+        frontier = cand.where(F.col("component") != F.col("old")).select(
+            "id", "component"
+        )
         wall = time.time() - t0
         metrics.append(
             SuperstepMetrics(it, float(changed), wall, n_edges, n_edges / max(wall, 1e-9))
@@ -144,6 +175,8 @@ def connected_components(
         if converged:
             break
 
+    if restore_parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", restore_parts)
     return IterativeResult(
         ranks=state,
         converged=converged,

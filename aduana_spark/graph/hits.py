@@ -37,6 +37,7 @@ from aduana_spark.graph.pagerank import (
     ConvergenceError,
     IterativeResult,
     SuperstepMetrics,
+    _derived_superstep_partitions,
     _resolve_partitions,
 )
 
@@ -79,6 +80,20 @@ def hits(
     edges = edges_by_src
     n_edges = edges.count()
     edges_by_dst.count()
+
+    # scale-adaptive loop width (see pagerank._derived_superstep_partitions):
+    # narrow the per-superstep exchanges for small graphs; session value
+    # restored at exit, E-row edge caches stay at the session layout
+    restore_parts: str | None = None
+    if shuffle_partitions is None:
+        dp = _derived_superstep_partitions(spark, n_edges)
+        if dp:
+            restore_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            shuffle_partitions = dp
+
+    def _restore() -> None:
+        if restore_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", restore_parts)
 
     if vertices is None:
         verts = (
@@ -204,6 +219,7 @@ def hits(
         if converged:
             break
 
+    _restore()
     if not converged and strict:
         raise ConvergenceError(f"hits did not reach {precision} in {max_iters} iterations")
     return IterativeResult(

@@ -49,6 +49,7 @@ Spark execution per superstep (designed for ~10^12-edge tables):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable
@@ -103,6 +104,37 @@ def _resolve_partitions(spark, shuffle_partitions, iteration, n_edges) -> int | 
     return int(shuffle_partitions)
 
 
+#: target E-rows per superstep task. (src,dst,msg) rows are ~16-24 B, so
+#: 100k rows ≈ 2 MB — enough real work to amortize the per-task overhead
+#: (~5-10 ms scheduling + serialization) while keeping tasks small enough
+#: for straggler insurance. Tunable per deployment.
+SUPERSTEP_ROWS_PER_TASK = int(
+    os.environ.get("ADUANA_SUPERSTEP_ROWS_PER_TASK", "100000")
+)
+
+
+def _derived_superstep_partitions(spark, n_rows: int) -> int | None:
+    """Scale-adaptive shuffle width for the per-superstep exchanges:
+    ``min(session conf, ceil(n_rows / SUPERSTEP_ROWS_PER_TASK))``.
+
+    A fixed ``spark.sql.shuffle.partitions`` is tuned for ONE scale; an
+    iterative job pays its per-task overhead once per superstep, so a
+    small graph under a wide session setting spends the whole superstep
+    scheduling near-empty tasks (measured on the sf0.1 bench graph:
+    64→16 loop partitions took the median steady-state superstep from
+    ~0.8 s to ~0.5 s at identical results). The derivation only ever
+    NARROWS the session setting — big inputs keep the admin-chosen
+    width, so cluster runs and the pinned scaling protocol (256-part
+    fixed layout, ~32M edges) are untouched. Returns None when no
+    narrowing applies."""
+    try:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return None
+    derived = max(1, -(-int(n_rows) // SUPERSTEP_ROWS_PER_TASK))
+    return derived if derived < session_parts else None
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -154,6 +186,24 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = edges.count()
+
+    # Scale-adaptive loop width (only when the caller passed no explicit
+    # policy): narrow the per-superstep exchanges when the graph is too
+    # small to fill the session's configured shuffle width. The session
+    # value is restored at every exit below; the E-row edge cache above
+    # was laid out under the session setting and is untouched (measured
+    # equivalent to narrowing everything, and it keeps the pinned
+    # scaling protocol's fixed 256-partition layout byte-identical).
+    restore_parts: str | None = None
+    if shuffle_partitions is None:
+        dp = _derived_superstep_partitions(spark, n_edges)
+        if dp:
+            restore_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            shuffle_partitions = dp
+
+    def _restore() -> None:
+        if restore_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", restore_parts)
 
     # ---- static vertex state: (id, deg, score) --------------------------
     if vertices is None:
@@ -346,6 +396,7 @@ def pagerank(
         if converged:
             break
 
+    _restore()
     if not converged and strict:
         raise ConvergenceError(
             f"pagerank did not reach {precision} in {max_iters} iterations"

@@ -69,7 +69,15 @@ def _rebalance_for_udf(df: DataFrame) -> DataFrame:
     the shingle projection — the shuffle carries the raw (id, text)
     rows, and everything expensive runs post-exchange at full width.
     At real scale the scan already has >= cores splits and this is a
-    no-op."""
+    no-op.
+
+    Cost note: ``df.rdd.getNumPartitions()`` forces DataFrame→RDD
+    conversion, i.e. full analysis + physical planning of the upstream
+    plan, which execution then pays again. That is milliseconds for
+    the scan-shaped inputs this guards (the pipelines here call it on
+    a bare (id, text)/(doc_id) projection of a source table, never on
+    a deep derived plan); callers with expensive upstream plans should
+    repartition explicitly instead of relying on this probe."""
     min_parts = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_parts:
         return df.repartition(min_parts)
@@ -123,7 +131,7 @@ def _minhash_udf(num_perm: int, seed: int):
     return minhash
 
 
-def _eager(df: DataFrame) -> DataFrame:
+def _eager(df: DataFrame, eager: bool = True) -> DataFrame:
     """Populate a persisted signature intermediate with one cheap
     count BEFORE deriving the band/chunk fan-out plans from it.
     Without the barrier, the first action to touch the cache arrives
@@ -131,8 +139,12 @@ def _eager(df: DataFrame) -> DataFrame:
     re-evaluates the shingle pipeline + signature UDF once per band
     against the uncached input (measured: 40.9 s vs 1.3 s for the
     identical signature materialization on the 10x bench corpus —
-    16 bands = 16 redundant UDF passes)."""
-    df.count()
+    16 bands = 16 redundant UDF passes). Gated on the caller's
+    ``eager`` flag so ``eager=False`` keeps its documented fully-lazy
+    contract (no job at plan-construction time) — such callers accept
+    the redundant-UDF hazard and manage materialization themselves."""
+    if eager:
+        df.count()
     return df
 
 
@@ -211,7 +223,8 @@ def minhash_lsh_candidates(
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sigs = _eager(
-        minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed).persist()
+        minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed).persist(),
+        eager,
     )
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     buckets = sigs.select(
@@ -345,7 +358,7 @@ def simhash_near_duplicates(
     """Pairs (id_a < id_b, hamming) with Hamming(simhash) <= k, via
     (k+1)-chunk banding (pigeonhole) + exact popcount verify. Chunk
     buckets larger than ``max_bucket_size`` are dropped (logged)."""
-    sigs = _eager(simhash_signatures(df, id_col, text_col, shingle_k).persist())
+    sigs = _eager(simhash_signatures(df, id_col, text_col, shingle_k).persist(), eager)
     buckets, big = _cap_buckets(
         _simhash_chunk_buckets(sigs, max_hamming), ["chunk", "key"], max_bucket_size
     )
@@ -388,7 +401,7 @@ def simhash_verified_near_duplicates(
         .withColumn("simhash", _simhash_udf()(F.col("shingles")))
         .persist()
     )
-    _eager(base)
+    _eager(base, eager)
     buckets, big = _cap_buckets(
         _simhash_chunk_buckets(base, max_hamming), ["chunk", "key"], max_bucket_size
     )
@@ -507,9 +520,12 @@ def embedding_near_duplicates(
     from aduana_spark.pipeline.similarity import add_lsh_buckets, _cosine_expr
 
     tagged = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
-    tagged = _eager(
-        add_lsh_buckets(tagged, "v", n_planes, seed, bucket_col="bucket").persist()
-    )
+    # no _eager barrier here: this path has no band/chunk explode
+    # fan-out, so the first real action (_cap_buckets' count, or the
+    # final join when uncapped) populates the cache through a single
+    # plan branch — a separate warming count would just add one full
+    # UDF pass over every vector (ADVICE r5)
+    tagged = add_lsh_buckets(tagged, "v", n_planes, seed, bucket_col="bucket").persist()
     buckets, big = _cap_buckets(tagged, ["bucket"], max_bucket_size)
     left = buckets.select("bucket", F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
     right = buckets.select("bucket", F.col("doc_id").alias("id_b"), F.col("v").alias("v_b"))

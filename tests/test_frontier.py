@@ -572,3 +572,35 @@ def test_frontier_topk_per_domain(spark):
         "https://small0.org/",
         "https://small1.org/",
     ]
+
+
+def test_freq_requests_collect_bounded_by_schedule(spark):
+    """r6: the per-request driver collect is semi-joined to the
+    schedule's URLs — a page_info table far larger than the schedule
+    serves correctly without shipping non-schedule rows to the driver
+    (the max_facade_rows guard bounds the schedule, not page_info)."""
+    from aduana_spark.frontier.freq_scheduler import FreqSchedulerView
+
+    last = TS + dt.timedelta(seconds=100)
+    big_pi = spark.range(0, 5000).selectExpr(
+        "concat('https://bulk.org/p', id) AS url",
+        "CAST(NULL AS STRING) AS linked_from",
+        "CAST(0 AS BIGINT) AS depth",
+        f"CAST('{TS.isoformat()}' AS TIMESTAMP) AS first_crawl",
+        f"CAST('{last.isoformat()}' AS TIMESTAMP) AS last_crawl",
+        "CAST(1 AS BIGINT) AS n_changes",
+        "CAST(2 AS BIGINT) AS n_crawls",
+        "CAST(0.0 AS DOUBLE) AS score",
+        "CAST(NULL AS BINARY) AS content_hash",
+    )
+    fs = FreqSchedulerView(spark, page_info=big_pi)
+    # schedule far smaller than page_info — and smaller than
+    # max_facade_rows, so the facade contract is satisfied while the
+    # old whole-table collect would have shipped all 5000 rows
+    fs.max_facade_rows = 100
+    fs.load([("https://bulk.org/p7", 0.5), ("https://bulk.org/p11", 0.25)])
+    # both start at score 0 → (score, url) order is lexicographic
+    got = fs.requests(2, now=last.timestamp() + 1000)
+    assert got == ["https://bulk.org/p11", "https://bulk.org/p7"]
+    # second round: p7 re-inserted at 1/0.5 = 2.0 < p11's 1/0.25 = 4.0
+    assert fs.requests(1, now=last.timestamp() + 2000) == ["https://bulk.org/p7"]

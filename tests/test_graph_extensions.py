@@ -208,3 +208,22 @@ def test_two_phase_cc_checkpoint_resume(spark, tmp_path):
     assert got == want
     cold = connected_components(df, algorithm="two-phase", max_iters=40)
     assert resumed.n_iterations < cold.n_iterations
+
+
+def test_components_delta_propagation_path_graph(spark):
+    """Delta propagation (r6: only vertices whose label changed last
+    superstep re-send) must keep per-superstep semantics identical to
+    the broadcast-from-everyone formulation. On the directed path
+    0->1->...->9 the min label walks exactly one hop per superstep, so
+    the changed-count sequence and the superstep count are fully
+    determined: 9,8,...,1 then the zero-change detection superstep."""
+    from aduana_spark.graph.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src LONG, dst LONG"
+    )
+    res = connected_components(edges, max_iters=20)
+    assert res.converged
+    assert {r["component"] for r in res.ranks.collect()} == {0}
+    assert [int(m.delta) for m in res.metrics] == [9, 8, 7, 6, 5, 4, 3, 2, 1, 0]
+    assert res.n_iterations == 10

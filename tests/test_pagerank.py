@@ -136,3 +136,30 @@ def test_pagerank_metrics_recorded(spark):
     assert all(m.edges_per_sec > 0 for m in res.metrics)
     deltas = res.deltas
     assert deltas[-1] <= 1e-6
+
+
+def test_derived_superstep_partitions_policy(spark):
+    """The scale-adaptive loop width only ever NARROWS the session's
+    shuffle setting: tiny inputs derive few partitions, inputs big
+    enough to fill the configured width leave it alone (None)."""
+    from aduana_spark.graph.pagerank import (
+        SUPERSTEP_ROWS_PER_TASK,
+        _derived_superstep_partitions,
+    )
+
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _derived_superstep_partitions(spark, 1) == 1
+    assert (
+        _derived_superstep_partitions(spark, SUPERSTEP_ROWS_PER_TASK * (sess + 5))
+        is None
+    )
+
+
+def test_pagerank_restores_session_shuffle_partitions(spark):
+    """pagerank's derived loop width is session-conf-scoped state; it
+    must be restored on exit so sibling queries in the same session
+    keep the configured width."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    res = pagerank(golden_edges(spark), precision=1e-6, max_iters=60)
+    assert res.converged
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
