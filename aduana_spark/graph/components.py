@@ -115,7 +115,9 @@ def connected_components(
         )
     else:
         state = verts.select("id", F.col("id").alias("component"))
-    state = state.repartition(F.col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    # no explicit repartition: both branches are hash-partitioned by id
+    # already (distinct / equi-join output)
+    state = state.persist(StorageLevel.MEMORY_AND_DISK)
     n_vertices = state.count()
 
     metrics: list[SuperstepMetrics] = []

@@ -109,7 +109,9 @@ def hits(
         )
     else:
         verts = verts.withColumn("score", F.lit(1.0))
-    verts = verts.repartition(F.col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    # no explicit repartition: hash-partitioned by id already
+    # (distinct / equi-join output)
+    verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
     n_vertices = verts.count()
 
     start_iter = 0

@@ -207,18 +207,22 @@ def pagerank(
 
     # ---- static vertex state: (id, deg, score) --------------------------
     if vertices is None:
-        verts = (
-            edges.select(F.col("src").alias("id"))
-            .unionAll(edges.select(F.col("dst").alias("id")))
-            .distinct()
+        # fused vertex-set + out-degree pass: tag each endpoint row with
+        # its degree contribution (src rows 1, dst/score rows 0) and
+        # groupBy-sum once — ONE map-side-combinable shuffle over the 2E
+        # endpoint rows replaces the former distinct-over-2E shuffle +
+        # groupBy-over-E shuffle + vertex⋈degree join (deg values are
+        # identical: Σ marks = #src occurrences, 0 for dangling)
+        marks = edges.select(F.col("src").alias("id"), F.lit(1).alias("_m")).unionAll(
+            edges.select(F.col("dst").alias("id"), F.lit(0).alias("_m"))
         )
         if scores is not None:
-            verts = verts.unionAll(scores.select("id")).distinct()
+            marks = marks.unionAll(scores.select("id", F.lit(0).alias("_m")))
+        vstate = marks.groupBy("id").agg(F.sum("_m").alias("deg"))
     else:
-        verts = vertices.select("id").distinct()
-    vstate = verts.join(out_degrees(edges), "id", "left").select(
-        "id", F.coalesce("deg", F.lit(0)).alias("deg")
-    )
+        vstate = vertices.select("id").distinct().join(
+            out_degrees(edges), "id", "left"
+        ).select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
     if scores is not None:
         vstate = vstate.join(scores.select("id", "score"), "id", "left").select(
             "id", "deg", F.coalesce(F.col("score").cast("double"), F.lit(0.0)).alias("score")
@@ -229,7 +233,10 @@ def pagerank(
     else:
         vstate = vstate.withColumn("score", F.lit(0.0))
         total_score = 1.0
-    vstate = vstate.repartition(F.col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    # no explicit repartition: every branch above ends hash-partitioned
+    # by id already (groupBy / equi-join output) — the former
+    # .repartition(id) added a whole redundant V-row exchange
+    vstate = vstate.persist(StorageLevel.MEMORY_AND_DISK)
     n_vertices = vstate.count()
 
     # ---- initial state ---------------------------------------------------
