@@ -209,12 +209,14 @@ def _explain_str(df) -> str:
 
 def _superstep_plan(spark, algo: str) -> str:
     """Build ONE steady-state superstep's plan for an iterative algo:
-    run the setup + first superstep by hand exactly as the module does,
-    then explain the second superstep's candidate DataFrame."""
+    run the setup + first superstep by hand exactly as the module does
+    (r6 shape: fused vertex/degree aggregation, scale-adaptive loop
+    width, CC delta-propagation frontier), then explain the second
+    superstep's candidate DataFrame."""
     from pyspark.storagelevel import StorageLevel
 
-    from aduana_spark.graph.builder import out_degrees
     from aduana_spark.graph.components import symmetrize
+    from aduana_spark.graph.pagerank import _derived_superstep_partitions
 
     edges_raw = bench.bench_edges(spark)
     if algo == "pagerank":
@@ -224,17 +226,18 @@ def _superstep_plan(spark, algo: str) -> str:
             .sortWithinPartitions("src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        edges.count()
-        verts = (
-            edges.select(F.col("src").alias("id"))
-            .unionAll(edges.select(F.col("dst").alias("id")))
-            .distinct()
+        n_edges = edges.count()
+        dp = _derived_superstep_partitions(spark, n_edges)
+        marks = edges.select(F.col("src").alias("id"), F.lit(1).alias("_m")).unionAll(
+            edges.select(F.col("dst").alias("id"), F.lit(0).alias("_m"))
         )
-        vstate = verts.join(out_degrees(edges), "id", "left").select(
-            "id", F.coalesce("deg", F.lit(0)).alias("deg")
-        ).withColumn("score", F.lit(0.0))
-        vstate = vstate.repartition(F.col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+        vstate = marks.groupBy("id").agg(F.sum("_m").alias("deg")).withColumn(
+            "score", F.lit(0.0)
+        )
+        vstate = vstate.persist(StorageLevel.MEMORY_AND_DISK)
         n_vertices = vstate.count()
+        if dp:
+            spark.conf.set("spark.sql.shuffle.partitions", str(dp))
         state = vstate.withColumn("rank", F.lit(1.0 / n_vertices))
         msg_src = state.where(F.col("deg") > 0).select(
             F.col("id").alias("src"), (F.col("rank") / F.col("deg")).alias("m")
@@ -265,34 +268,48 @@ def _superstep_plan(spark, algo: str) -> str:
             .sortWithinPartitions("src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        sym.count()
+        n_edges = sym.count()
+        dp = _derived_superstep_partitions(spark, n_edges)
+        if dp:
+            spark.conf.set("spark.sql.shuffle.partitions", str(dp))
         verts = (
             sym.select(F.col("src").alias("id"))
             .unionAll(sym.select(F.col("dst").alias("id")))
             .distinct()
         )
         state = verts.select("id", F.col("id").alias("component"))
-        state = state.repartition(F.col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+        state = state.persist(StorageLevel.MEMORY_AND_DISK)
         state.count()
-        msgs = (
-            sym.join(
-                state.select(
-                    F.col("id").alias("src"), F.col("component").alias("c")
-                ),
-                "src",
+
+        def _superstep(state, frontier):
+            msgs = (
+                sym.join(
+                    frontier.select(
+                        F.col("id").alias("src"), F.col("component").alias("c")
+                    ),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.min("c").alias("nbr_min"))
+                .withColumnRenamed("dst", "id")
             )
-            .groupBy("dst")
-            .agg(F.min("c").alias("nbr_min"))
-            .withColumnRenamed("dst", "id")
+            return state.join(msgs, "id", "left").select(
+                "id",
+                F.col("component").alias("old"),
+                F.least(
+                    "component", F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+
+        # superstep 1 (frontier = everyone), then the steady-state
+        # superstep 2 whose plan shows the delta-propagation frontier
+        cand1 = _superstep(state, state).localCheckpoint(eager=False)
+        cand1.where(F.col("component") != F.col("old")).count()
+        frontier = cand1.where(F.col("component") != F.col("old")).select(
+            "id", "component"
         )
-        cand = state.join(msgs, "id", "left").select(
-            "id",
-            F.col("component").alias("old"),
-            F.least(
-                "component", F.coalesce("nbr_min", F.col("component"))
-            ).alias("component"),
-        )
-        return _explain_str(cand)
+        cand2 = _superstep(cand1.select("id", "component"), frontier)
+        return _explain_str(cand2)
     raise SystemExit(f"unknown superstep algo {algo}")
 
 
