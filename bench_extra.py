@@ -207,12 +207,18 @@ def _explain_str(df) -> str:
     return buf.getvalue()
 
 
-def _superstep_plan(spark, algo: str) -> str:
+def _superstep_plan(spark, algo: str, legacy: bool = False) -> str:
     """Build ONE steady-state superstep's plan for an iterative algo:
     run the setup + first superstep by hand exactly as the module does
     (r6 shape: fused vertex/degree aggregation, scale-adaptive loop
     width, CC delta-propagation frontier), then explain the second
-    superstep's candidate DataFrame."""
+    superstep's candidate DataFrame.
+
+    ``legacy=True`` (hits only) rebuilds the ROUND-START loop shape
+    instead — session shuffle width for every per-superstep exchange
+    plus the explicit ``.repartition("id")`` of the vertex state that
+    round 6 removed — so before/after captures come from the same
+    session and graph."""
     from pyspark.storagelevel import StorageLevel
 
     from aduana_spark.graph.components import symmetrize
@@ -310,6 +316,72 @@ def _superstep_plan(spark, algo: str) -> str:
         )
         cand2 = _superstep(cand1.select("id", "component"), frontier)
         return _explain_str(cand2)
+    if algo == "hits":
+        # mirrors aduana_spark.graph.hits.hits: two edge caches (by src /
+        # by dst), Jacobi double join, L1 sums in one cand aggregate
+        edges_by_src = (
+            edges_raw.select("src", "dst")
+            .repartition(F.col("src"))
+            .sortWithinPartitions("src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        edges_by_dst = (
+            edges_raw.select("src", "dst")
+            .repartition(F.col("dst"))
+            .sortWithinPartitions("dst")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_edges = edges_by_src.count()
+        edges_by_dst.count()
+        if not legacy:
+            dp = _derived_superstep_partitions(spark, n_edges)
+            if dp:
+                spark.conf.set("spark.sql.shuffle.partitions", str(dp))
+        verts = (
+            edges_by_src.select(F.col("src").alias("id"))
+            .unionAll(edges_by_src.select(F.col("dst").alias("id")))
+            .distinct()
+            .withColumn("score", F.lit(1.0))
+        )
+        if legacy:
+            # round-start shape: explicit full V-row re-exchange
+            verts = verts.repartition("id")
+        verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
+        n_vertices = verts.count()
+        state = verts.select(
+            "id",
+            "score",
+            F.lit(1.0 / n_vertices).alias("hub"),
+            F.lit(1.0 / n_vertices).alias("auth"),
+        )
+        a_side = state.select(F.col("id").alias("dst"), F.col("auth").alias("am"))
+        hub_raw = (
+            edges_by_dst.join(a_side, "dst")
+            .groupBy("src")
+            .agg(F.sum("am").alias("hub_raw"))
+        )
+        h_side = state.select(F.col("id").alias("src"), F.col("hub").alias("hm"))
+        auth_raw = (
+            edges_by_src.join(h_side, "src")
+            .groupBy("dst")
+            .agg(F.sum("hm").alias("auth_raw"))
+        )
+        cand = (
+            state.join(hub_raw.withColumnRenamed("src", "id"), "id", "left")
+            .join(auth_raw.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                "score",
+                F.col("hub").alias("old_hub"),
+                F.col("auth").alias("old_auth"),
+                F.coalesce("hub_raw", F.lit(0.0)).alias("hub_raw"),
+                F.coalesce("auth_raw", F.lit(0.0)).alias("auth_raw"),
+            )
+        )
+        sums = cand.agg(
+            F.sum("hub_raw").alias("hs"), F.sum("auth_raw").alias("as_")
+        )
+        return _explain_str(sums)
     raise SystemExit(f"unknown superstep algo {algo}")
 
 
@@ -318,11 +390,18 @@ def cmd_plans(out_dir: str, names: list[str]) -> None:
     spark = _spark()
     frames = _plan_frames(spark)
     names = names or (list(frames) + ["pagerank_superstep", "cc_superstep"])
+    session_parts = spark.conf.get("spark.sql.shuffle.partitions")
     for name in names:
+        # superstep builders narrow the session width; reset per capture
+        spark.conf.set("spark.sql.shuffle.partitions", session_parts)
         if name == "pagerank_superstep":
             txt = _superstep_plan(spark, "pagerank")
         elif name == "cc_superstep":
             txt = _superstep_plan(spark, "cc")
+        elif name == "hits_superstep":
+            txt = _superstep_plan(spark, "hits")
+        elif name == "hits_superstep_legacy":
+            txt = _superstep_plan(spark, "hits", legacy=True)
         else:
             txt = _explain_str(frames[name]())
         with open(os.path.join(out_dir, f"{name}.txt"), "w") as fh:
