@@ -21,16 +21,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from aduana_spark.graph.pagerank import _derived_superstep_partitions
+
 
 def bfs_depths(
     edges: DataFrame, seeds: DataFrame, max_depth: int | None = None
 ) -> DataFrame:
     """Shortest-path depth from ``seeds`` (DataFrame with column
     ``id``). Returns (id, depth) for reachable vertices only."""
+    spark = edges.sparkSession
     e = edges.select("src", "dst").repartition(F.col("src")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    e.count()
+    n_edges = e.count()
+
+    # scale-adaptive loop width (pagerank._derived_superstep_partitions):
+    # narrow the per-superstep exchanges for small graphs; session value
+    # restored at exit, the cached E-row layout above is untouched
+    restore_parts: str | None = None
+    dp = _derived_superstep_partitions(spark, n_edges)
+    if dp:
+        restore_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(dp))
     state = seeds.select("id", F.lit(0).alias("depth")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -55,4 +67,6 @@ def bfs_depths(
         new_state = state.unionAll(new_frontier).localCheckpoint()
         state.unpersist()
         state, frontier = new_state, new_frontier
+    if restore_parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", restore_parts)
     return state

@@ -23,7 +23,11 @@ from pyspark.storagelevel import StorageLevel
 
 from aduana_spark.graph.checkpoint import CheckpointManager
 from aduana_spark.graph.components import symmetrize
-from aduana_spark.graph.pagerank import IterativeResult, SuperstepMetrics
+from aduana_spark.graph.pagerank import (
+    IterativeResult,
+    SuperstepMetrics,
+    _derived_superstep_partitions,
+)
 
 
 def label_propagation(
@@ -51,6 +55,15 @@ def label_propagation(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = sym.count()
+
+    # scale-adaptive loop width (pagerank._derived_superstep_partitions):
+    # narrow the per-superstep exchanges for small graphs; session value
+    # restored at exit, the cached E-row layout above is untouched
+    restore_parts: str | None = None
+    dp = _derived_superstep_partitions(spark, n_edges)
+    if dp:
+        restore_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(dp))
 
     verts = (
         sym.select(F.col("src").alias("id"))
@@ -113,6 +126,8 @@ def label_propagation(
         if converged:
             break
 
+    if restore_parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", restore_parts)
     return IterativeResult(
         ranks=state,
         converged=converged,

@@ -227,3 +227,31 @@ def test_components_delta_propagation_path_graph(spark):
     assert {r["component"] for r in res.ranks.collect()} == {0}
     assert [int(m.delta) for m in res.metrics] == [9, 8, 7, 6, 5, 4, 3, 2, 1, 0]
     assert res.n_iterations == 10
+
+
+def test_bfs_and_labelprop_restore_session_shuffle_partitions(spark):
+    """r6: bfs/labelprop take the scale-adaptive loop width (tiny
+    graphs derive a narrow per-superstep shuffle width); the session
+    conf is scoped state and must be restored on exit, and results
+    must be identical to the session-width formulation."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    seeds = spark.createDataFrame([(0,)], "id LONG")
+    got = {
+        r["id"]: r["depth"]
+        for r in bfs_depths(_edges_df(spark, edges), seeds).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    cl = []
+    for base in (0, 100):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                cl.append((base + i, base + j))
+    res = label_propagation(_edges_df(spark, cl), max_iters=10)
+    got = {r["id"]: r["label"] for r in res.ranks.collect()}
+    assert len({got[i] for i in range(5)}) == 1
+    assert len({got[100 + i] for i in range(5)}) == 1
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
