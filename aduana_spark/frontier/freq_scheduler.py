@@ -357,6 +357,7 @@ def simulate_serving(
     t_end: float,
     batch: int = 4,
     margin: float = 0.1,
+    max_rows: int | None = 1_000_000,
 ) -> dict[str, int]:
     """EDF serving-loop simulation (mirrors the reference's
     statistical test, test/test_freq_scheduler.py:6-55): repeatedly
@@ -371,7 +372,21 @@ def simulate_serving(
     """
     import heapq
 
-    rows = freq_table.select("url", "freq", "last_crawl").collect()
+    # Same driver-memory guard as FreqSchedulerView._load_table: the
+    # simulation state lives on the driver by design (the loop IS the
+    # semantics), so bound the one collect instead of OOMing on a
+    # facade-at-scale misuse. max_rows=None disables the guard.
+    src = freq_table.select("url", "freq", "last_crawl")
+    if max_rows is not None:
+        rows = src.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"freq table exceeds max_rows={max_rows}: simulate_serving "
+                "is a driver-side simulation; use next_due_view() (the "
+                "distributed EDF path) at this scale, or raise max_rows"
+            )
+    else:
+        rows = src.collect()
     heap = [
         (
             (r["last_crawl"].timestamp() if r["last_crawl"] else t_start)

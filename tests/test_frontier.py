@@ -247,6 +247,31 @@ def test_freq_serving_ratios(spark):
     assert served["http://c.com"] == pytest.approx(20, rel=0.05)
 
 
+def test_simulate_serving_collect_bounded(spark):
+    """simulate_serving's one collect is guarded like
+    FreqSchedulerView._load_table: a freq table larger than max_rows
+    fails fast (limit max_rows+1, never a full materialization) with a
+    pointer to the distributed EDF path; within the bound the
+    simulation is unchanged."""
+    from aduana_spark.frontier.freq_scheduler import simulate_serving
+
+    pi = spark.createDataFrame(
+        [
+            (f"https://s{i}.com", None, 0, TS, TS, 0, 1, 0.0, None)
+            for i in range(8)
+        ],
+        schema="url STRING, linked_from STRING, depth BIGINT, first_crawl TIMESTAMP,"
+        " last_crawl TIMESTAMP, n_changes BIGINT, n_crawls BIGINT, score DOUBLE,"
+        " content_hash BINARY",
+    )
+    ft = build_freq_table(pi, rules=[FreqRule(r".*", fixed_interval=10.0)])
+    t0 = TS.timestamp()
+    with pytest.raises(ValueError, match="max_rows=4"):
+        simulate_serving(ft, t0, t0 + 100, max_rows=4)
+    served = simulate_serving(ft, t0, t0 + 100, max_rows=8)
+    assert served["https://s0.com"] == pytest.approx(10, abs=1)
+
+
 # ---------------------------------------------------------------- round 2
 
 
